@@ -1,0 +1,104 @@
+"""Coordinate/table I/O tests."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from chemlab_tpu import files_io
+
+
+def _write_sample_gro(path, n=4, with_vel=True):
+    lines = ["sample system", str(n)]
+    for k in range(n):
+        base = "%5d%-5s%5s%5d%8.3f%8.3f%8.3f" % (k // 2 + 1, "MOL", "A%d" % k, k + 1,
+                                                 0.1 * k, 0.2 * k, 0.3 * k)
+        if with_vel:
+            base += "%8.3f%8.3f%8.3f" % (0.01 * k, -0.01 * k, 0.5)
+        lines.append(base)
+    lines.append("5.0 6.0 7.0")
+    path.write_text("\n".join(lines) + "\n")
+
+
+def test_gro_read(tmp_path):
+    p = tmp_path / "conf.gro"
+    _write_sample_gro(p)
+    c = files_io.read_gro(str(p))
+    assert c.n_atoms == 4
+    assert c.title == "sample system"
+    np.testing.assert_allclose(c.box, [5.0, 6.0, 7.0])
+    np.testing.assert_allclose(c.pos[2], [0.2, 0.4, 0.6])
+    np.testing.assert_allclose(c.vel[3], [0.03, -0.03, 0.5])
+    assert list(c.atom_ids) == [1, 2, 3, 4]
+    assert c.res_idx[3] == 2
+
+
+def test_gro_roundtrip(tmp_path):
+    p = tmp_path / "conf.gro"
+    _write_sample_gro(p, with_vel=False)
+    c = files_io.read_gro(str(p))
+    assert c.vel is None
+    out = tmp_path / "out.gro"
+    files_io.write_gro(str(out), c, backup=False)
+    c2 = files_io.read_gro(str(out))
+    np.testing.assert_allclose(c.pos, c2.pos, atol=1e-3)
+    np.testing.assert_allclose(c.box, c2.box, atol=1e-6)
+
+
+def test_prepare_path_backs_up(tmp_path):
+    p = tmp_path / "f.txt"
+    p.write_text("old")
+    files_io.prepare_path(str(p))
+    assert not p.exists()
+    assert (tmp_path / "_f.txt.1_").read_text() == "old"
+
+
+def test_table_kind_from_name():
+    assert files_io.table_kind_from_name("table_b3.xvg") == "bond"
+    assert files_io.table_kind_from_name("table_a12.pot") == "angle"
+    assert files_io.table_kind_from_name("table_d1.xvg") == "dihedral"
+    assert files_io.table_kind_from_name("table_MA_ML.xvg") == "nonbonded"
+
+
+def test_read_bonded_xvg(tmp_path):
+    p = tmp_path / "table_b1.xvg"
+    rows = ["%g %g %g" % (r, r * r, -2 * r) for r in np.linspace(0.0, 1.0, 11)]
+    p.write_text("\n".join(rows))
+    r, e, f, kind = files_io.read_table(str(p))
+    assert kind == "bond"
+    assert r[0] > 0.0  # r=0 dropped
+    np.testing.assert_allclose(e, r**2, atol=1e-12)
+
+
+def test_read_angle_xvg_degrees(tmp_path):
+    p = tmp_path / "table_a1.xvg"
+    degs = np.linspace(1.0, 180.0, 10)
+    p.write_text("\n".join("%g %g %g" % (d, 1.0, 2.0) for d in degs))
+    r, e, f, kind = files_io.read_table(str(p))
+    assert kind == "angle"
+    assert r[-1] == pytest.approx(math.pi)
+    # force scaled by 180/pi
+    assert f[0] == pytest.approx(2.0 * 180.0 / math.pi)
+
+
+def test_read_nonbonded_xvg_7col(tmp_path):
+    p = tmp_path / "table_T1_T2.xvg"
+    rows = []
+    for r in np.linspace(0.0, 2.0, 21):
+        rows.append("%g 0 0 %g %g %g %g" % (r, -(r + 1e-9) ** -6 if r else 0, 1.0, (r + 1e-9) ** -12 if r else 0, 2.0))
+    p.write_text("\n".join(rows))
+    r, e, f, kind = files_io.read_table(str(p), c6=1.0, c12=1.0)
+    assert kind == "nonbonded"
+    assert np.all(r > 0)
+    np.testing.assert_allclose(f, 3.0 * np.ones_like(f))
+
+
+def test_convert_table_writes_pot(tmp_path):
+    p = tmp_path / "table_b2.xvg"
+    p.write_text("\n".join("%g %g %g" % (r, r, 1.0) for r in np.linspace(0.1, 1.0, 10)))
+    pot = files_io.convert_table(str(p))
+    assert pot.endswith("table_b2.pot")
+    assert os.path.exists(pot)
+    r, e, f, _ = files_io.read_table(pot)
+    assert len(r) == 10
