@@ -1,0 +1,801 @@
+"""System assembly: SystemTopology + Coordinates (+ reactions) -> device arrays.
+
+This is the TPU analog of the reference's whole setup phase
+(start_simulation.py:90-441 + gromacs_topology.py set_*_interactions +
+reaction_setup.py): instead of instantiating ~40 engine objects, everything
+is lowered into the EngineConfig / SimSpec / MDState triplet.
+
+Fidelity notes:
+  - LJ mixing uses the *raw* [ atomtypes ] columns exactly as the reference
+    does (combination() over the unconverted values;
+    ref: gromacs_topology.py:679-681) so step-0 energies match.
+  - nonbonded func codes 1,8,9,10,11,12,13,15,16,17 are lowered; 14
+    (time-ramped pair scaling) currently evaluates as a plain table and 18 is
+    a no-op exactly like the reference (ref: gromacs_topology.py:880-881).
+  - nb-table index 0 is a reserved all-zero table (the "no potential matched"
+    target for MultiTabulated ranges without a default).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import files_io
+from ..topology import SystemTopology, combine_lj
+from . import neighbor, reaction_compile, tables
+from .spec import (MIX_MULTIRANGE, MIX_OBS, MIX_STATIC, PAIR_LJ, PAIR_NONE,
+                   PAIR_TAB, EngineConfig, SimSpec)
+from .state import N_BOND_PARAMS, MDState, TermTable
+
+logger = logging.getLogger(__name__)
+
+F32 = np.float32
+I32 = np.int32
+
+
+@dataclasses.dataclass
+class SimOptions:
+    """Engine-relevant simulation options (subset of the ~70 CLI flags)."""
+
+    lj_cutoff: float = 1.2
+    cg_cutoff: float = 1.4
+    coulomb_cutoff: float = 0.0
+    skin: float = 0.16
+    dt: float = 0.001
+    kT: float = 1.0                 # temperature in energy units
+    thermostat: str = "lv"
+    thermostat_gamma: float = 5.0
+    barostat: str = "no"
+    pressure: float = 0.0
+    barostat_tau: float = 5.0
+    barostat_gammaP: float = 1.0
+    barostat_mass: float = 50.0
+    max_force: float = -1.0
+    fudge_qq: float | None = None   # defaults from topology [ defaults ]
+    table_groups: tuple = ()
+    thermal_groups: tuple = ()
+    rng_seed: int = 12345
+    gen_velocity: bool = False
+    t_hybrid_bond: int = 0
+    exclude_new_bonds: bool = True
+    table_dirs: tuple = (".",)
+    output_prefix: str = "sim"
+    # capacities / shapes (None = auto)
+    n_bins: int = 4096
+    max_neighbors: int | None = None
+    cell_cap: int | None = None
+    deg_cap: int = 8
+    excl_cap: int = 48
+    extra_bonds: int | None = None
+    extra_angles: int | None = None
+    extra_dihedrals: int | None = None
+    max_events: int = 128
+    dtype: str = "float32"
+
+
+class ObsRegistry:
+    """Conversion-observable registry, keyed like the reference's cr_observs
+    dict ((type, total, state); ref: start_simulation.py:481-489)."""
+
+    def __init__(self):
+        self.keys = []
+        self.entries = []   # (obs_idx, type_id, state)
+        self.totals = []
+
+    def register(self, type_states, total) -> int:
+        """type_states: list of (type_id, state_or_None)."""
+        key = (tuple(type_states), total)
+        if key in self.keys:
+            return self.keys.index(key)
+        idx = len(self.keys)
+        self.keys.append(key)
+        self.totals.append(float(total))
+        for tid, st in type_states:
+            self.entries.append((idx, tid, -1 if st is None else st))
+        return idx
+
+    def label(self, idx: int) -> str:
+        type_states, _ = self.keys[idx]
+        parts = "_".join(str(t) for t, _ in type_states)
+        states = [s for _, s in type_states if s is not None]
+        return "cr_%s%s" % (parts, "_%d" % states[0] if states else "")
+
+    def arrays(self):
+        n = max(len(self.keys), 1)
+        if not self.entries:
+            return (np.zeros(1, I32), np.zeros(1, I32), np.full(1, -1, I32),
+                    np.ones(n, F32))
+        return (
+            np.asarray([e[0] for e in self.entries], I32),
+            np.asarray([e[1] for e in self.entries], I32),
+            np.asarray([e[2] for e in self.entries], I32),
+            np.asarray(self.totals, F32),
+        )
+
+
+def _pack_bond_params(func, fields, bond_tb, table_dirs):
+    """Raw .top bond fields -> engine param vector (ref: gromacs_topology.py:916-947)."""
+    p = np.zeros(N_BOND_PARAMS, F32)
+    f = [float(x) for x in fields] if func != 8 else fields
+    if func == 1:
+        p[0] = f[1] / 2.0   # GROMACS K -> U = K/2 (r-r0)^2
+        p[1] = f[0]
+    elif func == 7:
+        p[0] = f[1]
+        p[1] = 0.0
+        p[2] = f[0]
+    elif func == 8:
+        name = files_io.resolve_table("table_b%d" % int(float(fields[0])), table_dirs)
+        r, e, fr, _ = files_io.read_table(name, kind="bond")
+        p[0] = bond_tb.add(name, r, e, fr)
+    elif func == 9:
+        p[0] = f[1]
+        p[1] = 0.0
+        p[2] = f[0]
+        p[3] = f[2]
+        p[4] = f[3]
+    else:
+        raise NotImplementedError("bond func %d" % func)
+    return p
+
+
+def _pack_angle_params(func, fields, angle_tb, table_dirs):
+    """(ref: gromacs_topology.py:1071-1083)"""
+    p = np.zeros(N_BOND_PARAMS, F32)
+    if func == 1:
+        p[0] = float(fields[1]) / 2.0
+        p[1] = math.radians(float(fields[0]))
+    elif func == 8:
+        name = files_io.resolve_table("table_a%d" % int(float(fields[0])), table_dirs)
+        r, e, fr, _ = files_io.read_table(name, kind="angle")
+        p[0] = angle_tb.add(name, r, e, fr)
+    elif func == 11:
+        p[0] = float(fields[1])
+        p[1] = math.radians(float(fields[0]))
+    else:
+        raise NotImplementedError("angle func %d" % func)
+    return p
+
+
+def _pack_dihedral_params(func, fields, dih_tb, table_dirs):
+    """(ref: gromacs_topology.py:1184-1204)"""
+    p = np.zeros(N_BOND_PARAMS, F32)
+    if func == 1:
+        p[0] = float(fields[1])
+        p[1] = math.radians(float(fields[0]))
+        p[2] = float(fields[2]) if len(fields) > 2 else 1.0
+    elif func == 3:
+        vals = [float(x) for x in fields][-6:]
+        p[: len(vals)] = vals
+    elif func == 8:
+        name = files_io.resolve_table("table_d%d" % int(float(fields[0])), table_dirs)
+        r, e, fr, _ = files_io.read_table(name, kind="dihedral")
+        p[0] = dih_tb.add(name, r, e, fr)
+    elif func == 12:
+        p[0] = float(fields[1])
+        p[1] = math.radians(float(fields[0]))
+    else:
+        raise NotImplementedError("dihedral func %d" % func)
+    return p
+
+
+_PACKERS = {
+    "bond": _pack_bond_params,
+    "angle": _pack_angle_params,
+    "dihedral": _pack_dihedral_params,
+}
+
+
+def _load_nb_table(name, nb_tb, table_dirs):
+    path = files_io.resolve_table(name, table_dirs)
+    r, e, f, _ = files_io.read_table(path, kind="nonbonded")
+    return nb_tb.add(path, r, e, f)
+
+
+def _build_pair_tables(systop: SystemTopology, opts: SimOptions, nb_tb, obs: ObsRegistry):
+    """Lower [ nonbond_params ] + defaults into per-type-pair dispatch arrays
+    (ref: gromacs_topology.py:463-899)."""
+    T = systop.next_type_id
+    n2 = T * T
+    out = {
+        "pair_kind": np.zeros(n2, I32),
+        "pair_sig": np.zeros(n2, F32),
+        "pair_eps": np.zeros(n2, F32),
+        "pair_cutoff2": np.zeros(n2, F32),
+        "pair_shift": np.zeros(n2, F32),
+        "pair_caprad": np.zeros(n2, F32),
+        "pair_tab_a": np.zeros(n2, I32),
+        "pair_tab_b": np.zeros(n2, I32),
+        "pair_mix_mode": np.zeros(n2, I32),
+        "pair_mix_x": np.ones(n2, F32),
+        "pair_obs": np.zeros(n2, I32),
+        "pair_lam_scale": np.zeros(n2, bool),
+        "pair_max_force": np.full(n2, -1.0, F32),
+    }
+    mix_entries = []  # (pair_flat, lo, hi, tab_a, tab_b, obs, default)
+
+    cr = systop.defaults["combinationrule"]
+    atomtypes = systop.top.atomtypes
+    sym2id = systop.atomsym_atomtype
+    tab_groups = set(opts.table_groups or ())
+    lj_cut, tab_cut = opts.lj_cutoff, opts.cg_cutoff
+
+    def flat(t1, t2):
+        return [t1 * T + t2, t2 * T + t1]
+
+    def set_pair(t1, t2, **kw):
+        for p in flat(t1, t2):
+            for k, v in kw.items():
+                out["pair_%s" % k][p] = v
+
+    def lj_shift(sig, eps, rc):
+        if eps == 0.0 or sig <= 0.0:
+            return 0.0
+        sr6 = (sig / rc) ** 6
+        return 4.0 * eps * (sr6 * sr6 - sr6)
+
+    def raw_combination(s1, s2):
+        # reference quirk: combination over unconverted atomtypes columns
+        a, b = atomtypes.get(s1), atomtypes.get(s2)
+        if a is None or b is None:
+            return -1.0, -1.0
+        return combine_lj(a["sigma"], a["epsilon"], b["sigma"], b["epsilon"], cr)
+
+    def register_obs(type_sym, total):
+        return obs.register([(sym2id[type_sym], None)], int(total))
+
+    syms = sorted(sym2id, key=sym2id.get)
+    for i1, s1 in enumerate(syms):
+        for s2 in syms[i1:]:
+            t1, t2 = sym2id[s1], sym2id[s2]
+            param = systop.top.nonbond_params.get(tuple(sorted((s1, s2))))
+            if param is None:
+                if s1 in tab_groups and s2 in tab_groups:
+                    tab = _load_nb_table("table_%s_%s" % (s1, s2), nb_tb, opts.table_dirs)
+                    set_pair(t1, t2, kind=PAIR_TAB, tab_a=tab, tab_b=tab,
+                             cutoff2=tab_cut**2)
+                else:
+                    sig, eps = raw_combination(s1, s2)
+                    if sig > 0.0:
+                        set_pair(t1, t2, kind=PAIR_LJ, sig=sig, eps=eps,
+                                 cutoff2=lj_cut**2, shift=lj_shift(sig, eps, lj_cut))
+                continue
+
+            func, pp = param["func"], param["params"]
+            if func == 1:
+                if pp:
+                    sig, eps = float(pp[0]), float(pp[1])
+                else:
+                    sig, eps = raw_combination(s1, s2)
+                if sig > 0.0:
+                    set_pair(t1, t2, kind=PAIR_LJ, sig=sig, eps=eps,
+                             cutoff2=lj_cut**2, shift=lj_shift(sig, eps, lj_cut))
+            elif func == 8:
+                name = pp[0] if pp else "table_%s_%s" % (s1, s2)
+                tab = _load_nb_table(name, nb_tb, opts.table_dirs)
+                set_pair(t1, t2, kind=PAIR_TAB, tab_a=tab, tab_b=tab, cutoff2=tab_cut**2)
+            elif func == 9:
+                # conversion-switched MultiTabulated (ref: :556-573,724-739)
+                tab = _load_nb_table(pp[0], nb_tb, opts.table_dirs)
+                o = register_obs(pp[1], int(pp[2]))
+                lo, hi = float(pp[3]), float(pp[4])
+                default = bool(int(pp[5])) if len(pp) > 5 else False
+                for p in flat(t1, t2):
+                    mix_entries.append((p, lo, hi, tab, tab, o, default))
+                base = tab if default else 0
+                set_pair(t1, t2, kind=PAIR_TAB, tab_a=base, tab_b=base,
+                         cutoff2=tab_cut**2, mix_mode=MIX_MULTIRANGE)
+            elif func == 10:
+                ta = _load_nb_table(pp[0], nb_tb, opts.table_dirs)
+                tb_ = _load_nb_table(pp[1], nb_tb, opts.table_dirs)
+                o = register_obs(pp[2], int(pp[3]))
+                set_pair(t1, t2, kind=PAIR_TAB, tab_a=ta, tab_b=tb_,
+                         cutoff2=tab_cut**2, mix_mode=MIX_OBS, obs=o)
+            elif func == 11:
+                name = pp[0] if pp else "table_%s_%s" % (s1, s2)
+                mf = float(pp[1]) if len(pp) > 1 else -1.0
+                tab = _load_nb_table(name, nb_tb, opts.table_dirs)
+                set_pair(t1, t2, kind=PAIR_TAB, tab_a=tab, tab_b=tab,
+                         cutoff2=tab_cut**2, lam_scale=True, max_force=mf)
+            elif func == 12:
+                ta = _load_nb_table(pp[0], nb_tb, opts.table_dirs)
+                tb_ = _load_nb_table(pp[1], nb_tb, opts.table_dirs)
+                set_pair(t1, t2, kind=PAIR_TAB, tab_a=ta, tab_b=tb_,
+                         cutoff2=tab_cut**2, mix_mode=MIX_STATIC, mix_x=float(pp[2]))
+            elif func == 13:
+                tab = _load_nb_table(pp[0], nb_tb, opts.table_dirs)
+                set_pair(t1, t2, kind=PAIR_TAB, tab_a=tab, tab_b=tab,
+                         cutoff2=tab_cut**2, caprad=float(pp[1]))
+            elif func == 14:
+                logger.warning("func 14 (ParticlePairScaling) evaluated as a plain "
+                               "table for %s-%s", s1, s2)
+                tab = _load_nb_table(pp[0], nb_tb, opts.table_dirs)
+                mf = float(pp[2]) if len(pp) > 2 else -1.0
+                set_pair(t1, t2, kind=PAIR_TAB, tab_a=tab, tab_b=tab,
+                         cutoff2=tab_cut**2, max_force=mf)
+            elif func == 15:
+                mf = -1.0
+                if pp and len(pp) == 1:
+                    mf = float(pp[0])
+                    sig, eps = raw_combination(s1, s2)
+                elif pp:
+                    sig, eps = float(pp[0]), float(pp[1])
+                    if len(pp) == 3:
+                        mf = float(pp[2])
+                else:
+                    sig, eps = raw_combination(s1, s2)
+                set_pair(t1, t2, kind=PAIR_LJ, sig=sig, eps=eps, cutoff2=lj_cut**2,
+                         shift=lj_shift(sig, eps, lj_cut), lam_scale=True, max_force=mf)
+            elif func == 16:
+                if len(pp) == 1:
+                    cap = float(pp[0])
+                    sig, eps = raw_combination(s1, s2)
+                else:
+                    sig, eps, cap = float(pp[0]), float(pp[1]), float(pp[2])
+                set_pair(t1, t2, kind=PAIR_LJ, sig=sig, eps=eps, cutoff2=lj_cut**2,
+                         shift=lj_shift(sig, eps, lj_cut), caprad=cap)
+            elif func == 17:
+                o = register_obs(pp[0], int(pp[1]))
+                for spec_str in pp[2:]:
+                    t = spec_str.split(":")
+                    lo, hi = float(t[0]), float(t[1])
+                    ta = _load_nb_table(t[2], nb_tb, opts.table_dirs)
+                    tb_ = _load_nb_table(t[3], nb_tb, opts.table_dirs)
+                    for p in flat(t1, t2):
+                        mix_entries.append((p, lo, hi, ta, tb_, o, False))
+                set_pair(t1, t2, kind=PAIR_TAB, tab_a=0, tab_b=0,
+                         cutoff2=tab_cut**2, mix_mode=MIX_MULTIRANGE)
+            elif func == 18:
+                logger.warning("func 18 (connectivity-scaled) is a no-op, as in the "
+                               "reference")
+            else:
+                raise ValueError("nonbonded func %d not supported" % func)
+
+    return out, mix_entries
+
+
+def _host_components(n, bonds):
+    """Connected components over bonds -> molecule ids (union-find)."""
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for i, j in bonds:
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[max(ri, rj)] = min(ri, rj)
+    return np.asarray([find(i) for i in range(n)], dtype=I32)
+
+
+def _round_up(x, m):
+    return int(-(-x // m) * m)
+
+
+@dataclasses.dataclass
+class BuiltSystem:
+    cfg: EngineConfig
+    spec: SimSpec
+    state: MDState
+    obs: ObsRegistry
+    reactions: reaction_compile.CompiledReactions | None
+    systop: SystemTopology
+    nb_names: list
+    term_names: list
+    extra_obs_idx: list = dataclasses.field(default_factory=list)
+
+
+def build_system(systop: SystemTopology, coords, opts: SimOptions,
+                 reaction_config: dict | None = None,
+                 extra_conversions=()) -> BuiltSystem:
+    """Assemble the full device system."""
+    T = systop.next_type_id
+    n = systop.n_atoms
+    if coords.n_atoms != n:
+        raise ValueError("coordinate file has %d atoms, topology %d" % (coords.n_atoms, n))
+    box = np.asarray(coords.box, F32)
+
+    obs = ObsRegistry()
+    nb_tb = tables.TableStackBuilder(opts.n_bins)
+    nb_tb.add("<zero>", np.array([1e-3, 10.0]), np.zeros(2), np.zeros(2))
+    bond_tb = tables.TableStackBuilder(opts.n_bins)
+    angle_tb = tables.TableStackBuilder(opts.n_bins)
+    dih_tb = tables.TableStackBuilder(opts.n_bins)
+
+    # ---- reactions first: they define dynamic types ----
+    compiled = None
+    if reaction_config is not None:
+        compiled = reaction_compile.compile_reactions(
+            reaction_config, systop, bond_tb, opts.table_dirs, opts.output_prefix)
+    dynamic_types = compiled.dynamic_types if compiled else set()
+    change_bond_types = compiled.observed_bondtypes if compiled else set()
+
+    # extra conversion observables requested by the caller (stop criteria)
+    extra_obs_idx = [obs.register(ts, total) for ts, total in extra_conversions]
+
+    # ---- nonbonded ----
+    pair_arrays, mix_entries = _build_pair_tables(systop, opts, nb_tb, obs)
+
+    # ---- bonded type-lookup tables ----
+    bond_func_tt = np.zeros((T, T), I32)
+    bond_par_tt = np.zeros((T, T, N_BOND_PARAMS), F32)
+    for (a, b), rec in systop.bondparams.items():
+        p = _pack_bond_params(rec["func"], rec["params"], bond_tb, opts.table_dirs)
+        for key in ((a, b), (b, a)):
+            bond_func_tt[key] = rec["func"]
+            bond_par_tt[key] = p
+    angle_func_tt = np.zeros((T, T, T), I32)
+    angle_par_tt = np.zeros((T, T, T, N_BOND_PARAMS), F32)
+    for (a, b, c), rec in systop.angleparams.items():
+        p = _pack_angle_params(rec["func"], rec["params"], angle_tb, opts.table_dirs)
+        for key in ((a, b, c), (c, b, a)):
+            angle_func_tt[key] = rec["func"]
+            angle_par_tt[key] = p
+    dih_func_tt = np.zeros((T, T, T, T), I32)
+    dih_par_tt = np.zeros((T, T, T, T, N_BOND_PARAMS), F32)
+    for (a, b, c, d), rec in systop.dihedralparams.items():
+        p = _pack_dihedral_params(rec["func"], rec["params"], dih_tb, opts.table_dirs)
+        for key in ((a, b, c, d), (d, c, b, a)):
+            dih_func_tt[key] = rec["func"]
+            dih_par_tt[key] = p
+
+    # ---- static bonded terms ----
+    def term_entries(raw_terms, params_by_type, pack, canonical):
+        idx, funcs, params, tl = [], [], [], []
+        for key_ids, fields in raw_terms.items():
+            rows = tuple(k - 1 for k in key_ids)
+            tids = tuple(int(systop.type_ids[r]) for r in rows)
+            ckey = canonical(tids)
+            is_dynamic = (bool(set(tids) & dynamic_types) or
+                          tuple(sorted(tids)) in change_bond_types) and ckey in params_by_type
+            if fields:
+                f = int(fields[0])
+                p = pack(f, fields[1:], None, opts.table_dirs)
+            else:
+                rec = params_by_type.get(ckey)
+                if rec is None:
+                    rec = params_by_type.get(tuple(reversed(ckey)))
+                if rec is None:
+                    raise ValueError("no parameters for term %s types %s" % (key_ids, tids))
+                f = rec["func"]
+                p = pack(f, rec["params"], None, opts.table_dirs)
+            idx.append(rows)
+            funcs.append(f)
+            params.append(p)
+            tl.append(is_dynamic)
+        return idx, funcs, params, tl
+
+    # packers that reuse the shared table builders
+    def pack_b(f, fields, _tb, dirs):
+        return _pack_bond_params(f, fields, bond_tb, dirs)
+
+    def pack_a(f, fields, _tb, dirs):
+        return _pack_angle_params(f, fields, angle_tb, dirs)
+
+    def pack_d(f, fields, _tb, dirs):
+        return _pack_dihedral_params(f, fields, dih_tb, dirs)
+
+    b_idx, b_func, b_par, b_tl = term_entries(
+        systop.bonds, systop.bondparams, pack_b, lambda t: tuple(sorted(t)))
+    a_idx, a_func, a_par, a_tl = term_entries(
+        systop.angles, systop.angleparams, pack_a,
+        lambda t: (t[2], t[1], t[0]) if t[0] > t[2] else t)
+    d_idx, d_func, d_par, d_tl = term_entries(
+        systop.dihedrals, systop.dihedralparams, pack_d,
+        lambda t: (t[3], t[2], t[1], t[0]) if t[3] > t[0] else t)
+
+    # 1-4 pairs: LJ with fudgeLJ (static resolution; ref: gromacs_topology.py:1314-1411)
+    fudge_lj = systop.defaults.get("fudgeLJ", 1.0)
+    p14_idx, p14_par = [], []
+    for key_ids, fields in systop.pairs.items():
+        rows = tuple(k - 1 for k in key_ids)
+        if fields and len(fields) >= 3:
+            sig, eps = float(fields[1]), float(fields[2])
+        else:
+            s1 = systop.atomtype_atomsym[int(systop.type_ids[rows[0]])]
+            s2 = systop.atomtype_atomsym[int(systop.type_ids[rows[1]])]
+            a_t, b_t = systop.top.atomtypes[s1], systop.top.atomtypes[s2]
+            sig, eps = combine_lj(a_t["sigma"], a_t["epsilon"], b_t["sigma"],
+                                  b_t["epsilon"], systop.defaults["combinationrule"])
+        p = np.zeros(N_BOND_PARAMS, F32)
+        p[0], p[1], p[2] = sig, fudge_lj * eps, opts.lj_cutoff**2
+        sr6 = (sig / opts.lj_cutoff) ** 6 if sig > 0 else 0.0
+        p[3] = 4.0 * fudge_lj * eps * (sr6 * sr6 - sr6)
+        p14_idx.append(rows)
+        p14_par.append(p)
+
+    # ---- capacities ----
+    n_pad = _round_up(max(n, 128), 128)
+    has_reactions = compiled is not None and compiled.n_reactions > 0
+    extra_b = opts.extra_bonds if opts.extra_bonds is not None else (n if has_reactions else 0)
+    extra_a = opts.extra_angles if opts.extra_angles is not None else 4 * extra_b
+    extra_d = opts.extra_dihedrals if opts.extra_dihedrals is not None else (
+        6 * extra_b if systop.dihedralparams else 0)
+    bond_cap = _round_up(max(len(b_idx) + extra_b, 8), 128)
+    angle_cap = _round_up(max(len(a_idx) + extra_a, 8), 128)
+    dih_cap = _round_up(max(len(d_idx) + extra_d, 8), 128)
+    pair14_cap = _round_up(len(p14_idx), 128) if p14_idx else 0
+    excl_cap_pairs = _round_up(max(len(systop.exclusions) + 8 * extra_b, 8), 128)
+
+    max_cutoff = max(opts.lj_cutoff, opts.cg_cutoff, opts.coulomb_cutoff)
+    rc_skin = max_cutoff + opts.skin
+    density = n / float(np.prod(box))
+    if opts.max_neighbors is None:
+        k_est = density * 4.0 / 3.0 * math.pi * rc_skin**3
+        max_neighbors = _round_up(max(int(k_est * 1.7) + 12, 16), 8)
+    else:
+        max_neighbors = opts.max_neighbors
+    cell_dims = neighbor.choose_cell_grid(box, rc_skin)
+    if opts.cell_cap is None:
+        cell_vol = float(np.prod(box / np.asarray(cell_dims)))
+        cell_cap = _round_up(max(int(density * cell_vol * 2.0) + 8, 8), 8)
+    else:
+        cell_cap = opts.cell_cap
+
+    # ---- term tables ----
+    bonds = TermTable.create(bond_cap, 2, b_idx, b_func, b_par, b_tl)
+    angles = TermTable.create(angle_cap, 3, a_idx, a_func, a_par, a_tl)
+    dihedrals = TermTable.create(dih_cap, 4, d_idx, d_func, d_par, d_tl)
+    pairs14 = TermTable.create(max(pair14_cap, 1), 2, p14_idx, [1] * len(p14_idx), p14_par)
+
+    # ---- exclusions / adjacency / molecules ----
+    excl = np.full((excl_cap_pairs, 2), -1, I32)
+    for i, (a, b) in enumerate(sorted(systop.exclusions)):
+        excl[i] = (a - 1, b - 1)
+    n_excl = len(systop.exclusions)
+
+    adj = np.full((n_pad, opts.deg_cap), -1, I32)
+    deg = np.zeros(n_pad, I32)
+    bonds0 = [(i - 1, j - 1) for (i, j) in systop.bonds]
+    for i, j in bonds0:
+        if deg[i] >= opts.deg_cap or deg[j] >= opts.deg_cap:
+            raise ValueError("deg_cap=%d too small" % opts.deg_cap)
+        adj[i, deg[i]] = j
+        adj[j, deg[j]] = i
+        deg[i] += 1
+        deg[j] += 1
+    mol_id = np.zeros(n_pad, I32)
+    mol_id[:n] = _host_components(n, bonds0)
+
+    # ---- per-particle arrays ----
+    dtype = np.float32 if opts.dtype == "float32" else np.float64
+    pos = np.zeros((n_pad, 3), dtype)
+    pos[:n] = np.mod(coords.pos, coords.box)
+    vel = np.zeros((n_pad, 3), dtype)
+    if coords.vel is not None:
+        vel[:n] = coords.vel
+    type_id = np.full(n_pad, 0, I32)
+    type_id[:n] = systop.type_ids
+    mass = np.ones(n_pad, dtype)
+    mass[:n] = systop.masses
+    q = np.zeros(n_pad, dtype)
+    q[:n] = systop.charges
+    chem_state = np.zeros(n_pad, I32)
+    chem_state[:n] = systop.states
+    res_id = np.zeros(n_pad, I32)
+    res_id[:n] = coords.res_idx
+    lam = np.ones(n_pad, dtype)
+    active = np.zeros(n_pad, bool)
+    active[:n] = True
+
+    if opts.gen_velocity and coords.vel is None:
+        rng = np.random.RandomState(opts.rng_seed)
+        v = rng.normal(size=(n, 3)) * np.sqrt(opts.kT / systop.masses)[:, None]
+        v -= np.average(v, axis=0, weights=systop.masses)
+        vel[:n] = v
+
+    # ---- stacks ----
+    nb_stack = nb_tb.build()
+    bond_stack = bond_tb.build()
+    angle_stack = angle_tb.build()
+    dih_stack = dih_tb.build()
+
+    # ---- thermostat / thermal groups ----
+    thermal_mask = np.ones(T, bool)
+    if opts.thermal_groups:
+        thermal_mask[:] = False
+        for s in opts.thermal_groups:
+            thermal_mask[systop.atomsym_atomtype[s]] = True
+
+    fudge_qq = opts.fudge_qq if opts.fudge_qq is not None else systop.defaults.get("fudgeQQ", 1.0)
+    from ..units import COULOMB_PREFACTOR
+    qq_pref = COULOMB_PREFACTOR * fudge_qq if opts.coulomb_cutoff > 0 else 0.0
+
+    # ---- reaction arrays ----
+    if compiled and compiled.n_reactions:
+        r_arrays = {k: jnp.asarray(v) for k, v in compiled.channels.items()}
+        n_r = compiled.n_reactions
+    else:
+        n_r = 0
+        r_arrays = {k: jnp.zeros(0, dt_) for k, dt_ in [
+            ("r_t1", I32), ("r_t2", I32), ("r_min1", I32), ("r_max1", I32),
+            ("r_min2", I32), ("r_max2", I32), ("r_delta1", I32), ("r_delta2", I32),
+            ("r_cutoff2", F32), ("r_min_cutoff2", F32), ("r_sigma", F32), ("r_eq", F32),
+            ("r_intramolecular", bool), ("r_intraresidual", bool), ("r_virtual", bool),
+            ("r_is_diss", bool), ("r_diss_rate", F32), ("r_group", I32),
+            ("r_new_type1", I32), ("r_new_type2", I32), ("r_cnb_type", I32),
+            ("r_cnb_min", I32), ("r_cnb_max", I32)]}
+    if compiled and compiled.ppnb:
+        pp_arrays = {k: jnp.asarray(v) for k, v in compiled.ppnb.items()}
+        n_pp = len(compiled.ppnb["ppnb_reaction"])
+    else:
+        n_pp = 0
+        pp_arrays = {k: jnp.zeros(0, I32) for k in [
+            "ppnb_reaction", "ppnb_side", "ppnb_old_type", "ppnb_level",
+            "ppnb_new_type", "ppnb_new_state", "ppnb_incr_state",
+            "ppnb_min_state", "ppnb_max_state"]}
+    atrp = compiled.atrp if compiled else None
+    if atrp and atrp["entries"]:
+        ae = atrp["entries"]
+        atrp_arrays = dict(
+            atrp_type=jnp.asarray([e[0] for e in ae], I32),
+            atrp_state=jnp.asarray([e[1] for e in ae], I32),
+            atrp_is_activator=jnp.asarray([e[2] for e in ae], bool),
+            atrp_new_type=jnp.asarray([e[3] for e in ae], I32),
+            atrp_delta=jnp.asarray([e[4] for e in ae], I32),
+            atrp_num=jnp.asarray(atrp["num_particles"], I32),
+            atrp_k_activate=jnp.asarray(atrp["k_activate"], F32),
+            atrp_k_deactivate=jnp.asarray(atrp["k_deactivate"], F32),
+            atrp_delta_catalyst=jnp.asarray(atrp["delta_catalyst"], F32),
+        )
+        n_atrp = len(ae)
+    else:
+        n_atrp = 0
+        atrp_arrays = dict(
+            atrp_type=jnp.zeros(0, I32), atrp_state=jnp.zeros(0, I32),
+            atrp_is_activator=jnp.zeros(0, bool), atrp_new_type=jnp.zeros(0, I32),
+            atrp_delta=jnp.zeros(0, I32), atrp_num=jnp.asarray(0, I32),
+            atrp_k_activate=jnp.asarray(0.0, F32), atrp_k_deactivate=jnp.asarray(0.0, F32),
+            atrp_delta_catalyst=jnp.asarray(0.0, F32))
+
+    obs_e_obs, obs_e_type, obs_e_state, obs_totals = obs.arrays()
+
+    # funcs present (static + type tables + groups)
+    bond_funcs = sorted(set(b_func) | set(bond_func_tt.flatten()) |
+                        (set(compiled.g_func.tolist()) if compiled else set()))
+    bond_funcs = tuple(f for f in bond_funcs if f > 0)
+    angle_funcs = tuple(f for f in sorted(set(a_func) | set(angle_func_tt.flatten())) if f > 0)
+    dih_funcs = tuple(f for f in sorted(set(d_func) | set(dih_func_tt.flatten())) if f > 0)
+
+    cfg = EngineConfig(
+        n_types=T,
+        n_particles=n,
+        n_pad=n_pad,
+        max_neighbors=max_neighbors,
+        cell_cap=cell_cap,
+        cell_dims=cell_dims,
+        deg_cap=opts.deg_cap,
+        bond_cap=bond_cap,
+        angle_cap=angle_cap,
+        dihedral_cap=dih_cap,
+        pair14_cap=pair14_cap,
+        excl_cap=opts.excl_cap,
+        max_events=opts.max_events,
+        n_reactions=n_r,
+        n_groups=compiled.n_groups if compiled else 0,
+        n_obs=max(len(obs.keys), 1),
+        bond_funcs=bond_funcs,
+        angle_funcs=angle_funcs,
+        dihedral_funcs=dih_funcs,
+        thermostat=opts.thermostat,
+        barostat=opts.barostat if opts.pressure > 0 else "no",
+        has_coulomb=qq_pref > 0,
+        has_reactions=has_reactions,
+        reaction_interval=compiled.interval if compiled else 0,
+        nearest_mode=compiled.nearest if compiled else False,
+        max_per_interval=compiled.max_per_interval if compiled else -1,
+        exclude_new_bonds=opts.exclude_new_bonds,
+        n_mix_entries=len(mix_entries),
+        has_lambda_pairs=bool(pair_arrays["pair_lam_scale"].any()),
+        use_thermal_group=bool(opts.thermal_groups),
+        nb_bins=opts.n_bins,
+        max_ppnb=n_pp,
+        max_nb_level=compiled.max_nb_level if compiled else 0,
+        has_atrp=n_atrp > 0,
+        n_atrp=n_atrp,
+        atrp_interval=atrp["interval"] if atrp else 0,
+    )
+
+    if mix_entries:
+        mix_arr = np.asarray(mix_entries, dtype=object)
+        mix = dict(
+            mix_pair=jnp.asarray([m[0] for m in mix_entries], I32),
+            mix_lo=jnp.asarray([m[1] for m in mix_entries], F32),
+            mix_hi=jnp.asarray([m[2] for m in mix_entries], F32),
+            mix_tab_a=jnp.asarray([m[3] for m in mix_entries], I32),
+            mix_tab_b=jnp.asarray([m[4] for m in mix_entries], I32),
+            mix_obs=jnp.asarray([m[5] for m in mix_entries], I32),
+            mix_default=jnp.asarray([m[6] for m in mix_entries], bool),
+        )
+    else:
+        mix = dict(mix_pair=jnp.zeros(0, I32), mix_lo=jnp.zeros(0, F32),
+                   mix_hi=jnp.zeros(0, F32), mix_tab_a=jnp.zeros(0, I32),
+                   mix_tab_b=jnp.zeros(0, I32), mix_obs=jnp.zeros(0, I32),
+                   mix_default=jnp.zeros(0, bool))
+
+    spec = SimSpec(
+        dt=jnp.asarray(opts.dt, F32),
+        kT=jnp.asarray(opts.kT, F32),
+        gamma=jnp.asarray(opts.thermostat_gamma, F32),
+        max_force=jnp.asarray(opts.max_force, F32),
+        pressure=jnp.asarray(opts.pressure, F32),
+        barostat_tau=jnp.asarray(opts.barostat_tau, F32),
+        barostat_gammaP=jnp.asarray(opts.barostat_gammaP, F32),
+        barostat_mass=jnp.asarray(opts.barostat_mass, F32),
+        skin=jnp.asarray(opts.skin, F32),
+        thermal_type_mask=jnp.asarray(thermal_mask),
+        type_mass=jnp.asarray([systop.top.atomtypes.get(
+            systop.atomtype_atomsym.get(t, ""), {}).get("mass", 1.0) for t in range(T)], F32),
+        type_q=jnp.asarray([systop.top.atomtypes.get(
+            systop.atomtype_atomsym.get(t, ""), {}).get("charge", 0.0) for t in range(T)], F32),
+        type_state=jnp.asarray([systop.top.atomtypes.get(
+            systop.atomtype_atomsym.get(t, ""), {}).get("state", 0) for t in range(T)], I32),
+        **{k: jnp.asarray(v) for k, v in pair_arrays.items()},
+        qq_prefactor=jnp.asarray(qq_pref, F32),
+        qq_cutoff2=jnp.asarray(opts.coulomb_cutoff**2, F32),
+        **mix,
+        nb_ef=jnp.asarray(nb_stack.ef), nb_r0=jnp.asarray(nb_stack.r0),
+        nb_dr=jnp.asarray(nb_stack.dr),
+        bond_ef=jnp.asarray(bond_stack.ef), bond_r0=jnp.asarray(bond_stack.r0),
+        bond_dr=jnp.asarray(bond_stack.dr),
+        angle_ef=jnp.asarray(angle_stack.ef), angle_r0=jnp.asarray(angle_stack.r0),
+        angle_dr=jnp.asarray(angle_stack.dr),
+        dih_ef=jnp.asarray(dih_stack.ef), dih_r0=jnp.asarray(dih_stack.r0),
+        dih_dr=jnp.asarray(dih_stack.dr),
+        bond_func_tt=jnp.asarray(bond_func_tt), bond_par_tt=jnp.asarray(bond_par_tt),
+        angle_func_tt=jnp.asarray(angle_func_tt), angle_par_tt=jnp.asarray(angle_par_tt),
+        dih_func_tt=jnp.asarray(dih_func_tt), dih_par_tt=jnp.asarray(dih_par_tt),
+        obs_entry_obs=jnp.asarray(obs_e_obs), obs_entry_type=jnp.asarray(obs_e_type),
+        obs_entry_state=jnp.asarray(obs_e_state), obs_total=jnp.asarray(obs_totals),
+        **r_arrays,
+        g_func=jnp.asarray(compiled.g_func) if compiled else jnp.zeros(0, I32),
+        g_params=jnp.asarray(compiled.g_params) if compiled else jnp.zeros((0, N_BOND_PARAMS), F32),
+        **pp_arrays,
+        **atrp_arrays,
+        hybrid_bond_rate=jnp.asarray(
+            1.0 / opts.t_hybrid_bond if opts.t_hybrid_bond > 0 else 0.0, F32),
+    )
+
+    state = MDState(
+        key=jax.random.PRNGKey(opts.rng_seed),
+        step=jnp.asarray(0, I32),
+        pos=jnp.asarray(pos), vel=jnp.asarray(vel),
+        force=jnp.zeros((n_pad, 3), dtype),
+        image=jnp.zeros((n_pad, 3), I32),
+        type_id=jnp.asarray(type_id), mass=jnp.asarray(mass), q=jnp.asarray(q),
+        chem_state=jnp.asarray(chem_state), res_id=jnp.asarray(res_id),
+        mol_id=jnp.asarray(mol_id), lam=jnp.asarray(lam), active=jnp.asarray(active),
+        bonds=bonds, angles=angles, dihedrals=dihedrals, pairs14=pairs14,
+        excl=jnp.asarray(excl), n_excl=jnp.asarray(n_excl, I32),
+        adj=jnp.asarray(adj),
+        nbr=neighbor.build_neighbor_state(
+            jnp.asarray(pos), jnp.asarray(box), jnp.asarray(active), jnp.asarray(excl),
+            rc_skin, dims=cell_dims, cell_cap=cell_cap,
+            max_neighbors=max_neighbors, excl_cap=opts.excl_cap),
+        box=jnp.asarray(box),
+        reaction_rates=jnp.asarray(compiled.rates if compiled else np.zeros(0, F32)),
+        reaction_active=jnp.asarray(np.ones(n_r, bool)),
+        reaction_counts=jnp.zeros(n_r, I32),
+        intra_counts=jnp.zeros(2, I32),
+        atrp_ratios=jnp.asarray([atrp["ratio_activator"] if atrp else 0.0,
+                                 atrp["ratio_deactivator"] if atrp else 0.0], F32),
+        atrp_stats=jnp.zeros(2, I32),
+    )
+
+    term_names = (["bond_f%d" % f for f in bond_funcs]
+                  + ["angle_f%d" % f for f in angle_funcs]
+                  + ["dihedral_f%d" % f for f in dih_funcs])
+    return BuiltSystem(cfg=cfg, spec=spec, state=state, obs=obs, reactions=compiled,
+                       systop=systop, nb_names=nb_stack.names, term_names=term_names,
+                       extra_obs_idx=extra_obs_idx)

@@ -1,0 +1,140 @@
+"""Velocity-Verlet integration with thermostats.
+
+The reference hot loop (SURVEY.md §3.2) is: half-kick, drift, halo/neighbor
+maintenance, forces, thermostat force adjustment, half-kick — with the
+thermostat contribution living inside the force array (espressopp
+LangevinThermostat adds friction+noise during force evaluation).  This module
+reproduces that structure as one jitted step over the padded state.
+
+Thermostats (ref: start_simulation.py:326-354):
+  lv   Langevin: f += -gamma m v + sqrt(2 kT gamma m / dt) N(0,1), optionally
+       restricted to thermal-group types (add_valid_types)
+  vr   canonical (Bussi) stochastic velocity rescaling
+  br   Berendsen weak coupling
+  iso  isokinetic rescale every ``coupling`` steps
+  no   NVE
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from . import bonded_forces, neighbor, observables, pair_forces
+from .spec import EngineConfig, SimSpec
+from .state import MDState
+
+
+def compute_forces(spec: SimSpec, cfg: EngineConfig, state: MDState):
+    """All conservative forces + per-term potential energies + conversions."""
+    obs_x = observables.conversions(spec, state.type_id, state.chem_state, state.active)
+    tab_a, tab_b, mix_x = pair_forces.resolve_pair_tables(spec, obs_x, cfg.n_mix_entries)
+    f_pair, e_pair = pair_forces.pair_forces(
+        spec, cfg.n_types, state.pos, state.box, state.type_id, state.q, state.lam,
+        state.nbr.idx, state.nbr.excl_mask, tab_a, tab_b, mix_x)
+    f_bond, e_bond = bonded_forces.bonded_forces(
+        spec, cfg, state.pos, state.box, state.type_id, state.q,
+        state.bonds, state.angles, state.dihedrals, state.pairs14)
+    force = f_pair + f_bond
+    # global CapForce extension (ref: start_simulation.py:321-324)
+    fmag = jnp.sqrt(jnp.sum(force * force, axis=-1, keepdims=True) + 1e-30)
+    cap = spec.max_force
+    force = jnp.where(cap > 0.0, force * jnp.minimum(1.0, cap / fmag), force)
+    force = jnp.where(state.active[:, None], force, 0.0)
+    energies = {**e_pair, **e_bond}
+    return force, energies, obs_x
+
+
+def _langevin_adjust(spec: SimSpec, state: MDState, force, key):
+    """Langevin friction + noise folded into the force array."""
+    sel = state.active & spec.thermal_type_mask[state.type_id]
+    noise = jax.random.normal(key, state.vel.shape, dtype=state.vel.dtype)
+    m = state.mass[:, None]
+    amp = jnp.sqrt(2.0 * spec.kT * spec.gamma * m / spec.dt)
+    adj = -spec.gamma * m * state.vel + amp * noise
+    return force + jnp.where(sel[:, None], adj, 0.0)
+
+
+def _rescale_thermostat(spec: SimSpec, cfg: EngineConfig, state: MDState, key):
+    """Velocity-rescaling thermostats applied post-kick."""
+    kT_now = observables.temperature(state.mass, state.vel, state.active,
+                                     spec.thermal_type_mask, state.type_id)
+    sel = state.active & spec.thermal_type_mask[state.type_id]
+    nf = 3.0 * jnp.maximum(jnp.sum(sel), 1)
+    if cfg.thermostat == "vr":
+        # Bussi CSVR: dK relaxation + Wiener term on the kinetic energy.
+        tau = jnp.maximum(spec.gamma, spec.dt)
+        c = jnp.exp(-spec.dt / tau)
+        k_now = 0.5 * nf * kT_now
+        k_target = 0.5 * nf * spec.kT
+        r = jax.random.normal(key, ())
+        k_new = (k_now * c
+                 + k_target / nf * (1.0 - c) * (nf - 1.0 + r * r)
+                 + 2.0 * r * jnp.sqrt(k_now * k_target / nf * (1.0 - c) * c))
+        scale = jnp.sqrt(jnp.maximum(k_new, 1e-30) / jnp.maximum(k_now, 1e-30))
+    elif cfg.thermostat == "br":
+        tau = jnp.maximum(spec.gamma, spec.dt)
+        scale = jnp.sqrt(1.0 + spec.dt / tau * (spec.kT / jnp.maximum(kT_now, 1e-30) - 1.0))
+    elif cfg.thermostat == "iso":
+        scale = jnp.sqrt(spec.kT / jnp.maximum(kT_now, 1e-30))
+    else:
+        scale = jnp.asarray(1.0, state.vel.dtype)
+    vel = jnp.where(sel[:, None], state.vel * scale, state.vel)
+    return dataclasses.replace(state, vel=vel)
+
+
+def maybe_rebuild_neighbors(spec: SimSpec, cfg: EngineConfig, state: MDState,
+                            force: bool = False) -> MDState:
+    """Rebuild the Verlet list if the skin criterion triggered (lax.cond)."""
+    rc_skin = jnp.sqrt(jnp.max(spec.pair_cutoff2)) + spec.skin
+    trigger = neighbor.needs_rebuild(state.pos, state.nbr, state.box, spec.skin)
+    if force:
+        trigger = jnp.asarray(True)
+
+    def rebuild(st):
+        nbr = neighbor.build_neighbor_state(
+            st.pos, st.box, st.active, st.excl, rc_skin,
+            dims=cfg.cell_dims, cell_cap=cfg.cell_cap,
+            max_neighbors=cfg.max_neighbors, excl_cap=cfg.excl_cap)
+        nbr = dataclasses.replace(
+            nbr,
+            n_rebuilds=st.nbr.n_rebuilds + 1,
+            overflow=st.nbr.overflow | nbr.overflow)
+        return dataclasses.replace(st, nbr=nbr)
+
+    return jax.lax.cond(trigger, rebuild, lambda st: st, state)
+
+
+def md_step(spec: SimSpec, cfg: EngineConfig, state: MDState) -> MDState:
+    """One velocity-Verlet step (ref hot loop, SURVEY.md §3.2)."""
+    dt = spec.dt
+    inv_m = jnp.where(state.active, 1.0 / state.mass, 0.0)[:, None]
+
+    # half kick + drift (state.force carries the previous step's full force,
+    # including the thermostat contribution, as in the reference engine)
+    vel = state.vel + 0.5 * dt * state.force * inv_m
+    pos = state.pos + dt * vel
+    # fold into the box, tracking periodic images
+    shift = jnp.floor(pos / state.box).astype(jnp.int32)
+    pos = pos - shift.astype(pos.dtype) * state.box
+    state = dataclasses.replace(state, pos=pos, vel=vel,
+                                image=state.image + shift)
+
+    state = maybe_rebuild_neighbors(spec, cfg, state)
+
+    force, _, _ = compute_forces(spec, cfg, state)
+
+    key, sub = jax.random.split(state.key)
+    if cfg.thermostat == "lv":
+        force = _langevin_adjust(spec, state, force, sub)
+
+    vel = state.vel + 0.5 * dt * force * inv_m
+    state = dataclasses.replace(state, vel=vel, force=force, key=key,
+                                step=state.step + 1)
+
+    if cfg.thermostat in ("vr", "br", "iso"):
+        key, sub = jax.random.split(state.key)
+        state = _rescale_thermostat(spec, cfg, dataclasses.replace(state, key=key), sub)
+    return state

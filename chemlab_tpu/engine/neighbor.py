@@ -1,0 +1,168 @@
+"""Cell-list binning and Verlet neighbor lists.
+
+TPU-native replacement for the reference's DomainDecomposition cell grid +
+VerletList (ref: start_simulation.py:158-197; SURVEY.md §2.2): particles are
+binned into fixed-capacity cell buckets with a sort, each particle gathers
+candidates from its (statically deduplicated) neighboring cells, and the K
+nearest in-range candidates form the neighbor rows.  The list is reused until
+the maximum displacement exceeds skin/2 (the classic Verlet criterion the
+reference engine uses for its rebuild trigger).
+
+Everything is shape-static: cell grid dims come from EngineConfig, bucket
+overflow raises a flag instead of reallocating.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .state import NeighborState
+
+I32 = jnp.int32
+
+
+def choose_cell_grid(box: np.ndarray, rc_skin: float, margin: float = 1.02):
+    """Pick static cell-grid dims: cell edge >= rc_skin * margin.
+
+    The margin keeps the grid valid under small barostat box changes.
+    """
+    dims = tuple(max(1, int(np.floor(b / (rc_skin * margin)))) for b in box)
+    return dims
+
+
+def neighbor_cell_offsets(dims):
+    """Static, deduplicated 27-stencil offsets.
+
+    For grid dims < 3 the periodic wrap makes offsets coincide; deduplicate at
+    trace time so small boxes don't double-count pairs.
+    """
+    seen = set()
+    out = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                key = (dx % dims[0], dy % dims[1], dz % dims[2])
+                if key not in seen:
+                    seen.add(key)
+                    out.append(key)
+    return np.asarray(out, dtype=np.int32)
+
+
+def _rank_in_run(sorted_keys):
+    """Rank of each element within its run of equal (sorted) keys."""
+    n = sorted_keys.shape[0]
+    idx = jnp.arange(n, dtype=I32)
+    is_start = jnp.concatenate([jnp.ones(1, bool), sorted_keys[1:] != sorted_keys[:-1]])
+    run_start = jax.lax.associative_scan(jnp.maximum, jnp.where(is_start, idx, 0))
+    return idx - run_start
+
+
+def build_cell_buckets(pos, box, active, dims, cell_cap):
+    """Scatter particles into (n_cells+1, cell_cap) index buckets (-1 padded).
+
+    Inactive particles land in the trailing junk bin and are silently dropped
+    on overflow; real-bin overflow sets the returned flag.
+    """
+    n_cells = int(np.prod(dims))
+    dims_a = jnp.asarray(dims, dtype=I32)
+    frac = pos / box
+    ci = jnp.clip((frac * dims_a).astype(I32), 0, dims_a - 1)
+    cid = (ci[:, 0] * dims[1] + ci[:, 1]) * dims[2] + ci[:, 2]
+    cid = jnp.where(active, cid, n_cells)
+
+    order = jnp.argsort(cid)
+    sorted_cid = cid[order]
+    rank = _rank_in_run(sorted_cid)
+    overflow = jnp.any((rank >= cell_cap) & (sorted_cid < n_cells))
+    # out-of-capacity entries get dropped by scatter mode='drop'
+    rank_c = jnp.where(rank < cell_cap, rank, cell_cap + n_cells)
+    buckets = jnp.full((n_cells + 1, cell_cap), -1, dtype=I32)
+    buckets = buckets.at[sorted_cid, rank_c].set(order.astype(I32), mode="drop")
+    return buckets, ci, overflow
+
+
+def build_exclusion_rows(excl_pairs, n_pad, excl_cap):
+    """Flat exclusion pairs -> per-particle rows (N, EXCL_CAP), -1 padded.
+
+    The flat list is the DynamicExcludeList analog; rows are rebuilt from it
+    whenever the neighbor list is rebuilt (exclusions only change at reaction
+    events, which force a rebuild).
+    """
+    a = excl_pairs[:, 0]
+    b = excl_pairs[:, 1]
+    rows = jnp.concatenate([a, b])
+    vals = jnp.concatenate([b, a])
+    valid = rows >= 0
+    rows = jnp.where(valid, rows, n_pad)  # junk row
+    order = jnp.argsort(rows)
+    rows_s = rows[order]
+    vals_s = vals[order]
+    rank = _rank_in_run(rows_s)
+    overflow = jnp.any((rank >= excl_cap) & (rows_s < n_pad))
+    rank_c = jnp.where(rank < excl_cap, rank, excl_cap + n_pad)
+    out = jnp.full((n_pad + 1, excl_cap), -1, dtype=I32)
+    out = out.at[rows_s, rank_c].set(vals_s.astype(I32), mode="drop")
+    return out[:n_pad], overflow
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "cell_cap", "max_neighbors", "excl_cap"))
+def build_neighbor_state(pos, box, active, excl_pairs, rc_skin, *, dims, cell_cap,
+                         max_neighbors, excl_cap):
+    """Build a fresh NeighborState.
+
+    Rows list the K nearest in-range (< rc_skin) active candidates of each
+    particle; unused slots point at the particle itself (zero displacement,
+    masked out by callers).  ``excl_mask[i, k]`` is True when (i, nbr[i,k]) is
+    an excluded pair.
+    """
+    n_pad = pos.shape[0]
+    buckets, ci, overflow = build_cell_buckets(pos, box, active, dims, cell_cap)
+    offsets = jnp.asarray(neighbor_cell_offsets(dims))  # (S, 3)
+    dims_a = jnp.asarray(dims, dtype=I32)
+
+    # candidate cells per particle: (N, S)
+    nc = (ci[:, None, :] + offsets[None, :, :]) % dims_a
+    ncid = (nc[..., 0] * dims[1] + nc[..., 1]) * dims[2] + nc[..., 2]
+    cand = buckets[ncid].reshape(n_pad, -1)  # (N, S*cap)
+
+    # squared distances with minimum image
+    cand_safe = jnp.maximum(cand, 0)
+    dr = pos[cand_safe] - pos[:, None, :]
+    dr -= box * jnp.round(dr / box)
+    d2 = jnp.sum(dr * dr, axis=-1)
+
+    self_idx = jnp.arange(n_pad, dtype=I32)
+    valid = (cand >= 0) & (cand != self_idx[:, None]) & (d2 < rc_skin * rc_skin)
+    valid &= active[cand_safe] & active[:, None]
+
+    big = jnp.float32(1e30)
+    keys = jnp.where(valid, d2, big)
+    neg_keys, picked = jax.lax.top_k(-keys, max_neighbors)
+    nbr = jnp.take_along_axis(cand_safe, picked, axis=1)
+    picked_valid = -neg_keys < big
+    nbr = jnp.where(picked_valid, nbr, self_idx[:, None])
+    nbr_overflow = jnp.sum(valid, axis=1).max() > max_neighbors
+
+    # exclusion mask
+    excl_rows, excl_overflow = build_exclusion_rows(excl_pairs, n_pad, excl_cap)
+    excl_mask = jnp.any(nbr[:, :, None] == excl_rows[:, None, :], axis=-1)
+
+    return NeighborState(
+        idx=nbr,
+        excl_mask=excl_mask,
+        ref_pos=pos,
+        overflow=overflow | nbr_overflow | excl_overflow,
+        n_rebuilds=jnp.asarray(1, I32),
+    )
+
+
+def needs_rebuild(pos, nbr: NeighborState, box, skin):
+    """Verlet criterion: any displacement since rebuild exceeds skin/2."""
+    dr = pos - nbr.ref_pos
+    dr -= box * jnp.round(dr / box)
+    d2 = jnp.sum(dr * dr, axis=-1)
+    return jnp.max(d2) > (0.5 * skin) ** 2

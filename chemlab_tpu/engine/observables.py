@@ -1,0 +1,70 @@
+"""On-device observables.
+
+Replaces the reference's espressopp.analysis.* compute() objects
+(SURVEY.md §2.3 "Analysis observables") with cheap fused reductions:
+conversions (ChemicalConversion / ChemicalConversionTypeState), temperature,
+kinetic energy, bond counts per reaction group.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .spec import SimSpec
+from .state import MDState, TermTable
+
+
+def conversions(spec: SimSpec, type_id, chem_state, active) -> jnp.ndarray:
+    """Conversion observables x_o = count_o / total_o.
+
+    Each observable sums one or more (type, state) match counts
+    (ref: tools.py:143-155 count_type accumulation; analysis.ChemicalConversion).
+    Returns (n_obs,) float32.
+    """
+    n_obs = spec.obs_total.shape[0]
+    counts = jnp.zeros(n_obs, dtype=jnp.float32)
+    n_entries = spec.obs_entry_obs.shape[0]
+    for e in range(n_entries):
+        t = spec.obs_entry_type[e]
+        s = spec.obs_entry_state[e]
+        match = active & (type_id == t) & ((s < 0) | (chem_state == s))
+        counts = counts.at[spec.obs_entry_obs[e]].add(jnp.sum(match).astype(jnp.float32))
+    return counts / jnp.maximum(spec.obs_total, 1.0)
+
+
+def kinetic_energy(mass, vel, active) -> jnp.ndarray:
+    v2 = jnp.sum(vel * vel, axis=-1)
+    return 0.5 * jnp.sum(jnp.where(active, mass * v2, 0.0))
+
+
+def temperature(mass, vel, active, type_mask=None, type_id=None) -> jnp.ndarray:
+    """Instantaneous kT = 2 Ekin / (3 N) over the thermal group."""
+    sel = active
+    if type_mask is not None and type_id is not None:
+        sel = sel & type_mask[type_id]
+    v2 = jnp.sum(vel * vel, axis=-1)
+    ekin = 0.5 * jnp.sum(jnp.where(sel, mass * v2, 0.0))
+    n = jnp.maximum(jnp.sum(sel), 1)
+    return 2.0 * ekin / (3.0 * n)
+
+
+def group_bond_counts(bonds: TermTable, n_groups: int) -> jnp.ndarray:
+    """NFixedPairListEntries per reaction group (chem_fpl counters)."""
+    valid = bonds.valid
+    counts = jnp.zeros(n_groups, dtype=jnp.int32)
+    grp = jnp.where(valid, bonds.group, n_groups)
+    counts = counts.at[jnp.clip(grp, 0, n_groups)].add(
+        jnp.where(valid & (bonds.group >= 0), 1, 0), mode="drop")
+    return counts
+
+
+def type_counts(type_id, active, n_types: int) -> jnp.ndarray:
+    """Particle count per type (ChemicalConversion numerators, counters)."""
+    counts = jnp.zeros(n_types, dtype=jnp.int32)
+    return counts.at[jnp.where(active, type_id, n_types)].add(1, mode="drop")
+
+
+def cm_velocity(mass, vel, active):
+    m = jnp.where(active, mass, 0.0)
+    p = jnp.sum(m[:, None] * vel, axis=0)
+    return p / jnp.maximum(jnp.sum(m), 1e-30)

@@ -1,0 +1,126 @@
+"""Nonbonded pair forces over the Verlet neighbor rows.
+
+One fused evaluation covers every nonbonded variant the reference registers
+as separate VerletList* interaction objects (SURVEY.md §2.3 "Interactions"):
+plain/energy-capped LJ, plain/capped/mixed/multi/dynamic-resolution tabulated
+potentials, and truncated Coulomb.  Dispatch is branchless: per-type-pair
+dispatch tables are gathered per neighbor entry and every kind contributes
+through masks (the MXU/VPU-friendly formulation — no data-dependent control
+flow).
+
+Conventions:
+  - tables store F = -dU/dr (GROMACS convention); the force on particle i
+    from j is F(r) * (r_i - r_j)/r
+  - LJ energies are shifted so U(cutoff) = 0, matching espressopp's default
+    shift="auto" used by the reference (ref: gromacs_topology.py:717)
+  - energy-capped variants clamp r to caprad (flat energy, zero force below
+    caprad; ref funcs 13/16, gromacs_topology.py:619-641)
+  - dynamic-resolution pairs scale U and F by lambda_i * lambda_j
+    (ref funcs 11/15, gromacs_topology.py:819-862)
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from . import tables
+from .spec import MIX_MULTIRANGE, MIX_OBS, PAIR_LJ, PAIR_TAB, SimSpec
+
+
+def resolve_pair_tables(spec: SimSpec, obs_x, n_mix_entries: int):
+    """Resolve conversion-dependent table selection/mixing for this step.
+
+    Returns per-type-pair (tab_a, tab_b, x) with the func-9 MultiTabulated
+    range selection and func-17 multi-range mixing applied
+    (ref: gromacs_topology.py:724-754).
+    """
+    tab_a = spec.pair_tab_a
+    tab_b = spec.pair_tab_b
+    x = jnp.where(spec.pair_mix_mode == MIX_OBS, obs_x[spec.pair_obs], spec.pair_mix_x)
+    for m in range(n_mix_entries):
+        p = spec.mix_pair[m]
+        xv = obs_x[spec.mix_obs[m]]
+        active = (xv >= spec.mix_lo[m]) & (xv < spec.mix_hi[m])
+        is_blend = spec.mix_tab_a[m] != spec.mix_tab_b[m]
+        tab_a = tab_a.at[p].set(jnp.where(active, spec.mix_tab_a[m], tab_a[p]))
+        tab_b = tab_b.at[p].set(jnp.where(active, spec.mix_tab_b[m], tab_b[p]))
+        # func-17 entries blend inside the range with the raw conversion value;
+        # func-9 entries (tab_a == tab_b) are pure table switches.
+        x = x.at[p].set(jnp.where(active & is_blend, xv, jnp.where(active, 1.0, x[p])))
+    return tab_a, tab_b, x
+
+
+def pair_forces(spec: SimSpec, n_types: int, pos, box, type_id, q, lam, nbr_idx,
+                excl_mask, tab_a, tab_b, mix_x):
+    """Compute nonbonded forces and energies over neighbor rows.
+
+    Returns (force (N,3), energies dict). Energies are per-kind sums
+    ('lj', 'lj-tab', 'coulomb') halved for double counting.
+    """
+    n = pos.shape[0]
+    j = nbr_idx
+    dr = pos[:, None, :] - pos[j]           # r_i - r_j
+    dr -= box * jnp.round(dr / box)
+    r2 = jnp.sum(dr * dr, axis=-1)
+    mask = (j != jnp.arange(n, dtype=jnp.int32)[:, None]) & ~excl_mask
+    r2 = jnp.where(mask, r2, 1.0)           # keep math finite on dead slots
+    r = jnp.sqrt(r2)
+
+    ti = type_id[:, None]
+    tj = type_id[j]
+    p = ti * n_types + tj
+
+    kind = spec.pair_kind[p]
+    in_cut = r2 < spec.pair_cutoff2[p]
+    caprad = spec.pair_caprad[p]
+    r_eff = jnp.where(caprad > 0.0, jnp.maximum(r, caprad), r)
+
+    # ---- Lennard-Jones ----
+    sig = spec.pair_sig[p]
+    eps = spec.pair_eps[p]
+    s2 = (sig * sig) / (r_eff * r_eff)
+    s6 = s2 * s2 * s2
+    lj_mask = mask & (kind == PAIR_LJ) & in_cut
+    e_lj = jnp.where(lj_mask, 4.0 * eps * (s6 * s6 - s6) - spec.pair_shift[p], 0.0)
+    # F(r)/r with F = -dU/dr; zero below caprad (flat capped energy)
+    f_lj = jnp.where(lj_mask & (r >= caprad), 48.0 * eps * (s6 * s6 - 0.5 * s6) / (r_eff * r_eff), 0.0)
+
+    # ---- tabulated (with mixing) ----
+    tab_mask = mask & (kind == PAIR_TAB) & in_cut
+    ea, fa = tables.interpolate(spec.nb_ef, spec.nb_r0, spec.nb_dr, tab_a[p], r_eff)
+    same = tab_a[p] == tab_b[p]
+    eb, fb = tables.interpolate(spec.nb_ef, spec.nb_r0, spec.nb_dr,
+                                jnp.where(same, tab_a[p], tab_b[p]), r_eff)
+    xm = mix_x[p]
+    e_tab = xm * ea + (1.0 - xm) * eb
+    f_tab = xm * fa + (1.0 - xm) * fb
+    e_tab = jnp.where(tab_mask, e_tab, 0.0)
+    f_tab = jnp.where(tab_mask & (r >= caprad), f_tab / r, 0.0)
+
+    # ---- dynamic-resolution lambda scaling ----
+    w = jnp.where(spec.pair_lam_scale[p], lam[:, None] * lam[j], 1.0)
+    e_lj, f_lj = e_lj * w, f_lj * w
+    e_tab, f_tab = e_tab * w, f_tab * w
+
+    # ---- per-pair force cap ----
+    fmax = spec.pair_max_force[p]
+    f_nb = f_lj + f_tab
+    fmag = jnp.abs(f_nb) * r
+    scale = jnp.where((fmax > 0.0) & (fmag > fmax), fmax / jnp.maximum(fmag, 1e-30), 1.0)
+    f_nb = f_nb * scale
+
+    # ---- truncated Coulomb ----
+    qq_mask = mask & (r2 < spec.qq_cutoff2) & (spec.qq_prefactor > 0.0)
+    qq = spec.qq_prefactor * q[:, None] * q[j]
+    e_qq = jnp.where(qq_mask, qq / r, 0.0)
+    f_qq = jnp.where(qq_mask, qq / (r2 * r), 0.0)
+
+    f_over_r = f_nb + f_qq
+    force = jnp.sum(f_over_r[..., None] * dr, axis=1)
+
+    energies = {
+        "lj": 0.5 * jnp.sum(e_lj),
+        "lj-tab": 0.5 * jnp.sum(e_tab),
+        "coulomb": 0.5 * jnp.sum(e_qq),
+    }
+    return force, energies

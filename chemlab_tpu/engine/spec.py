@@ -1,0 +1,226 @@
+"""SimSpec: the static, compiled description of a simulation.
+
+The reference configures ~40 espressopp interaction objects through Python
+calls (SURVEY.md §2.3).  Here the same information is lowered into dense
+arrays indexed by type id, so a single fused XLA program can evaluate every
+potential variant branchlessly:
+
+  - per-type-pair nonbonded dispatch tables (kind/params/cutoff/cap/table
+    ids/mixing descriptors) covering nonbond_params func codes
+    1,8,9,10,11,12,13,15,16,17 (ref: gromacs_topology.py:463-899)
+  - uniform-grid table stacks for nonbonded / bond / angle / dihedral tables
+  - per-type bonded parameter lookup tables (the FixedPairListTypes*
+    behavior; ref: gromacs_topology.py:949-961)
+  - reaction channel tables (ref: reaction_setup.py) and post-process
+    descriptors
+  - conversion observable descriptors (espressopp.analysis.ChemicalConversion*)
+
+``EngineConfig`` carries the static (hashable) compile-time facts; ``SimSpec``
+is a pytree of device arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ---- nonbonded pair kinds --------------------------------------------------
+PAIR_NONE = 0
+PAIR_LJ = 1
+PAIR_TAB = 2
+
+# ---- pair mixing modes -----------------------------------------------------
+MIX_STATIC = 0       # blend factor is mix_x
+MIX_OBS = 1          # blend factor from conversion observable obs_idx
+MIX_MULTIRANGE = 2   # tables and factor resolved from range entries per step
+
+# ---- reaction post-process sides -------------------------------------------
+SIDE_T1 = 0
+SIDE_T2 = 1
+SIDE_BOTH = 2
+
+
+def _dataclass(cls):
+    fields = [f.name for f in dataclasses.fields(cls)]
+    jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+    return cls
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Static compile-time configuration (hashable; goes to jit as static)."""
+
+    n_types: int
+    n_particles: int          # real particle count
+    n_pad: int                # padded particle count (multiple of 128)
+    max_neighbors: int        # K
+    cell_cap: int             # max particles per cell bucket
+    cell_dims: tuple          # static cell-grid dims (from the initial box)
+    deg_cap: int              # adjacency fan-out
+    bond_cap: int
+    angle_cap: int
+    dihedral_cap: int
+    pair14_cap: int
+    excl_cap: int
+    max_events: int           # reaction events applied per interval
+    n_reactions: int
+    n_groups: int
+    n_obs: int
+    bond_funcs: tuple         # func codes present (static + type tables)
+    angle_funcs: tuple
+    dihedral_funcs: tuple
+    thermostat: str           # 'lv' | 'vr' | 'br' | 'iso' | 'no'
+    barostat: str             # 'no' | 'br' | 'lv'
+    has_coulomb: bool
+    has_reactions: bool
+    reaction_interval: int
+    nearest_mode: bool
+    max_per_interval: int
+    exclude_new_bonds: bool   # add created bonds to the exclusion list
+    n_mix_entries: int        # func-9/17 range entry count
+    has_lambda_pairs: bool    # any dynamic-resolution nonbonded
+    use_thermal_group: bool
+    nb_bins: int
+    max_ppnb: int             # ChangeNeighboursProperty entry count
+    max_nb_level: int         # deepest neighbour-property BFS level
+    has_atrp: bool
+    n_atrp: int               # ATRP reactive-center entry count
+    atrp_interval: int
+
+
+@_dataclass
+@dataclasses.dataclass
+class SimSpec:
+    """Device-array description of the system (pytree)."""
+
+    # -- integration scalars --
+    dt: jnp.ndarray
+    kT: jnp.ndarray           # target temperature in energy units
+    gamma: jnp.ndarray        # thermostat coupling
+    max_force: jnp.ndarray    # global force cap, <=0 disables
+    pressure: jnp.ndarray     # target pressure (barostats)
+    barostat_tau: jnp.ndarray
+    barostat_gammaP: jnp.ndarray
+    barostat_mass: jnp.ndarray
+    skin: jnp.ndarray
+    thermal_type_mask: jnp.ndarray   # (T,) bool: types the thermostat acts on
+
+    # -- per-type property tables (for type-change post-processes) --
+    type_mass: jnp.ndarray    # (T,)
+    type_q: jnp.ndarray       # (T,)
+    type_state: jnp.ndarray   # (T,) initial chemical state
+
+    # -- nonbonded pair dispatch, flattened (T*T,) --
+    pair_kind: jnp.ndarray
+    pair_sig: jnp.ndarray
+    pair_eps: jnp.ndarray
+    pair_cutoff2: jnp.ndarray
+    pair_shift: jnp.ndarray
+    pair_caprad: jnp.ndarray      # 0 = uncapped
+    pair_tab_a: jnp.ndarray       # int32 table ids
+    pair_tab_b: jnp.ndarray
+    pair_mix_mode: jnp.ndarray
+    pair_mix_x: jnp.ndarray
+    pair_obs: jnp.ndarray         # int32 observable id
+    pair_lam_scale: jnp.ndarray   # bool: scale by lam_i * lam_j
+    pair_max_force: jnp.ndarray   # per-pair force cap, <=0 none
+    qq_prefactor: jnp.ndarray
+    qq_cutoff2: jnp.ndarray
+
+    # -- func 9 / 17 range entries --
+    mix_pair: jnp.ndarray     # (M,) int32 flattened pair index
+    mix_lo: jnp.ndarray       # (M,)
+    mix_hi: jnp.ndarray
+    mix_tab_a: jnp.ndarray
+    mix_tab_b: jnp.ndarray    # == tab_a for func 9
+    mix_obs: jnp.ndarray
+    mix_default: jnp.ndarray  # bool: func-9 default table flag
+
+    # -- table stacks --
+    nb_ef: jnp.ndarray        # (nT, bins, 2)
+    nb_r0: jnp.ndarray
+    nb_dr: jnp.ndarray
+    bond_ef: jnp.ndarray
+    bond_r0: jnp.ndarray
+    bond_dr: jnp.ndarray
+    angle_ef: jnp.ndarray
+    angle_r0: jnp.ndarray
+    angle_dr: jnp.ndarray
+    dih_ef: jnp.ndarray
+    dih_r0: jnp.ndarray
+    dih_dr: jnp.ndarray
+
+    # -- per-type bonded parameter lookup (dynamic-type terms) --
+    bond_func_tt: jnp.ndarray     # (T, T) int32
+    bond_par_tt: jnp.ndarray      # (T, T, P)
+    angle_func_tt: jnp.ndarray    # (T, T, T)
+    angle_par_tt: jnp.ndarray     # (T, T, T, P)
+    dih_func_tt: jnp.ndarray      # (T, T, T, T)
+    dih_par_tt: jnp.ndarray       # (T, T, T, T, P)
+
+    # -- conversion observables: entry lists --
+    obs_entry_obs: jnp.ndarray    # (nE,) observable id per entry
+    obs_entry_type: jnp.ndarray   # (nE,) type id to count
+    obs_entry_state: jnp.ndarray  # (nE,) required state, -1 = any
+    obs_total: jnp.ndarray        # (n_obs,) denominator
+
+    # -- reaction channels (R,) --
+    r_t1: jnp.ndarray
+    r_t2: jnp.ndarray
+    r_min1: jnp.ndarray
+    r_max1: jnp.ndarray
+    r_min2: jnp.ndarray
+    r_max2: jnp.ndarray
+    r_delta1: jnp.ndarray
+    r_delta2: jnp.ndarray
+    r_cutoff2: jnp.ndarray
+    r_min_cutoff2: jnp.ndarray
+    r_sigma: jnp.ndarray          # >0 enables Gaussian cutoff
+    r_eq: jnp.ndarray
+    r_intramolecular: jnp.ndarray  # bool: allow same-molecule pairs
+    r_intraresidual: jnp.ndarray   # bool: allow same-residue pairs
+    r_virtual: jnp.ndarray         # bool: no bond created
+    r_is_diss: jnp.ndarray         # bool: dissociation channel
+    r_diss_rate: jnp.ndarray       # spontaneous break probability
+    r_group: jnp.ndarray           # int32 group id
+    # type-change post-process per side (-1 = no change)
+    r_new_type1: jnp.ndarray
+    r_new_type2: jnp.ndarray
+    # bonded-neighbour state constraint on type_1 (exchange reactions;
+    # ref: reaction_setup.py:205-206); -1 disables
+    r_cnb_type: jnp.ndarray
+    r_cnb_min: jnp.ndarray
+    r_cnb_max: jnp.ndarray
+
+    # -- reaction groups --
+    g_func: jnp.ndarray           # (G,) bond potential func for created bonds
+    g_params: jnp.ndarray         # (G, P)
+
+    # -- ChangeNeighboursProperty entries --
+    ppnb_reaction: jnp.ndarray    # (PB,) owning reaction id
+    ppnb_side: jnp.ndarray        # (PB,) SIDE_*
+    ppnb_old_type: jnp.ndarray
+    ppnb_level: jnp.ndarray
+    ppnb_new_type: jnp.ndarray
+    ppnb_new_state: jnp.ndarray   # -1 = keep / use incr
+    ppnb_incr_state: jnp.ndarray
+    ppnb_min_state: jnp.ndarray   # state window on the target (exchange)
+    ppnb_max_state: jnp.ndarray
+
+    # -- ATRPActivator (ref: reaction_post_process.py:380-426) --
+    atrp_type: jnp.ndarray        # (nA,) reactive-center type
+    atrp_state: jnp.ndarray       # (nA,) required state
+    atrp_is_activator: jnp.ndarray  # (nA,) bool: consumes deactivator pool
+    atrp_new_type: jnp.ndarray
+    atrp_delta: jnp.ndarray       # state increment
+    atrp_num: jnp.ndarray         # particles sampled per interval
+    atrp_k_activate: jnp.ndarray
+    atrp_k_deactivate: jnp.ndarray
+    atrp_delta_catalyst: jnp.ndarray
+
+    # -- hybrid-bond lambda ramp (FixedListDynamicResolution;
+    #    ref: start_simulation.py:289-293); 0 disables --
+    hybrid_bond_rate: jnp.ndarray

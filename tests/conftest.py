@@ -1,12 +1,18 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh.
 
 Sharding-aware tests exercise multi-chip paths without TPU hardware by
-forcing the host platform to expose 8 devices.  Must run before jax import.
+forcing the host platform to expose 8 devices.  The environment's TPU
+plugin registers itself at interpreter start and overrides jax_platforms,
+so the override must go through jax.config (env vars alone are ignored).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
