@@ -705,6 +705,9 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
         has_atrp=n_atrp > 0,
         n_atrp=n_atrp,
         atrp_interval=atrp["interval"] if atrp else 0,
+        atrp_num=atrp["num_particles"] if atrp else 0,
+        has_dissociation=bool(compiled and compiled.n_reactions
+                              and any(c for c in compiled.channels["r_is_diss"])),
     )
 
     if mix_entries:
@@ -784,6 +787,7 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
             rc_skin, dims=cell_dims, cell_cap=cell_cap,
             max_neighbors=max_neighbors, excl_cap=opts.excl_cap),
         box=jnp.asarray(box),
+        reactions_on=jnp.asarray(False),
         reaction_rates=jnp.asarray(compiled.rates if compiled else np.zeros(0, F32)),
         reaction_active=jnp.asarray(np.ones(n_r, bool)),
         reaction_counts=jnp.zeros(n_r, I32),

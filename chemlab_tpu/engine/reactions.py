@@ -1,0 +1,545 @@
+"""The on-device reactive layer.
+
+TPU-native equivalent of espressopp's ``integrator.ChemicalReaction`` driver
+plus its Reaction/DissociationReaction channels and post-processes
+(ref: SURVEY.md §3.3; chemlab config in reaction_setup.py:408-541).  Runs
+every ``interval`` MD steps as one fused, shape-static program:
+
+  1. candidate matching over the Verlet neighbor rows: type + state windows,
+     distance test (hard cutoff or Gaussian ReactionCutoffRandom), molecule /
+     residue constraints, bonded-neighbour-state constraints (exchange)
+  2. Monte-Carlo acceptance with W = rate * dt * interval (espressopp's
+     acceptance rule) from a counter-based pair-symmetric hash, so both
+     endpoints of a pair draw the same number under any sharding
+  3. deterministic conflict resolution: each particle joins at most one
+     reaction per interval via mutual-argmin matching on a symmetric key
+     (distance in ``nearest`` mode, the hash otherwise), then a global
+     ``max_per_interval`` cap by priority
+  4. event application: bond creation into the group table, state deltas,
+     type changes (with per-type mass/charge updates), topology-manager
+     updates (adjacency, auto-generated angles/dihedrals by type signature,
+     dynamic exclusions, molecule merge) and ChangeNeighboursProperty BFS
+  5. dissociation channels over the bond table: distance-triggered breaks
+     (W = rate * dt * interval when r > cutoff) plus spontaneous breaks
+     (W = diss_rate * dt * interval), with dependent angle/dihedral/exclusion
+     removal and molecule relabeling
+
+Deviation from the reference noted in reaction_compile.py: lambda fade-in /
+fade-out (BasicDynamicResolution) is applied as an instant switch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from . import neighbor, topo
+from .spec import EngineConfig, SimSpec
+from .state import MDState
+
+I32 = jnp.int32
+F32 = jnp.float32
+
+
+# ---------------------------------------------------------------------------
+# counter-based uniform hash (pair-symmetric, reproducible under sharding)
+# ---------------------------------------------------------------------------
+
+def _mix(x):
+    """splitmix64-style 32-bit finalizer (statistical-quality MC draws)."""
+    x = jnp.asarray(x, jnp.uint32)
+    x = (x ^ (x >> 16)) * jnp.uint32(0x7FEB352D)
+    x = (x ^ (x >> 15)) * jnp.uint32(0x846CA68B)
+    return x ^ (x >> 16)
+
+
+def pair_uniform(seed, step, lo, hi, salt):
+    """U[0,1) keyed by (seed, step, unordered pair, salt)."""
+    h = _mix(jnp.asarray(lo, jnp.uint32) + jnp.uint32(0x9E3779B9))
+    h = _mix(h ^ jnp.asarray(hi, jnp.uint32))
+    h = _mix(h ^ jnp.asarray(step, jnp.uint32))
+    h = _mix(h ^ jnp.asarray(salt, jnp.uint32))
+    h = _mix(h ^ jnp.asarray(seed, jnp.uint32))
+    return h.astype(F32) * jnp.float32(2.3283064e-10)  # / 2^32
+
+
+def _gauss_from_uniform(u1, u2):
+    """Box-Muller (single branch) for the Gaussian reaction cutoff."""
+    r = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
+    return r * jnp.cos(2.0 * jnp.pi * u2)
+
+
+# ---------------------------------------------------------------------------
+# candidate matching
+# ---------------------------------------------------------------------------
+
+def _channel_accept(spec: SimSpec, cfg: EngineConfig, state: MDState, seed,
+                    i_idx, j, r2, slot_valid, r: int, t1_is_lo):
+    """Directed acceptance of channel ``r`` for neighbor slots.
+
+    ``t1_is_lo`` selects the direction: True tests (min-side as type_1) —
+    encoded canonically so row i and row j agree bit-for-bit.
+    """
+    lo = jnp.minimum(i_idx, j)
+    hi = jnp.maximum(i_idx, j)
+    a = jnp.where(t1_is_lo, lo, hi)   # type_1 side
+    b = jnp.where(t1_is_lo, hi, lo)   # type_2 side
+    ta = state.type_id[a]
+    tb = state.type_id[b]
+    sa = state.chem_state[a]
+    sb = state.chem_state[b]
+
+    m = slot_valid
+    m &= (ta == spec.r_t1[r]) & (tb == spec.r_t2[r])
+    m &= (sa >= spec.r_min1[r]) & (sa < spec.r_max1[r])
+    m &= (sb >= spec.r_min2[r]) & (sb < spec.r_max2[r])
+    m &= state.reaction_active[r] & ~spec.r_is_diss[r]
+
+    # distance test: hard cutoff, or per-(pair, interval) Gaussian sample
+    # (ReactionCutoffRandom; ref: reaction_setup.py:107-111)
+    dir_salt = jnp.where(t1_is_lo, 0, 1)
+    u1 = pair_uniform(seed, state.step, lo, hi, 4 * r + 2)
+    u2 = pair_uniform(seed, state.step, lo, hi, 4 * r + 3)
+    gcut = spec.r_eq[r] + spec.r_sigma[r] * _gauss_from_uniform(u1, u2)
+    cut2 = jnp.where(spec.r_sigma[r] > 0.0, gcut * gcut, spec.r_cutoff2[r])
+    m &= (r2 <= cut2) & (r2 >= spec.r_min_cutoff2[r])
+
+    # molecule / residue constraints
+    m &= spec.r_intramolecular[r] | (state.mol_id[a] != state.mol_id[b])
+    m &= spec.r_intraresidual[r] | (state.res_id[a] != state.res_id[b])
+
+    # no existing bond between the pair
+    m &= ~jnp.any(state.adj[a] == b[..., None], axis=-1)
+
+    # bonded-neighbour state constraint on the type_1 side (exchange)
+    cnb = spec.r_cnb_type[r]
+    nbr_t = state.type_id[jnp.maximum(state.adj[a], 0)]
+    nbr_s = state.chem_state[jnp.maximum(state.adj[a], 0)]
+    has_cnb = jnp.any((state.adj[a] >= 0) & (nbr_t == cnb)
+                      & (nbr_s >= spec.r_cnb_min[r]) & (nbr_s < spec.r_cnb_max[r]),
+                      axis=-1)
+    m &= (cnb < 0) | has_cnb
+
+    # Monte-Carlo acceptance, W = rate * dt * interval
+    w = state.reaction_rates[r] * spec.dt * cfg.reaction_interval
+    u = pair_uniform(seed, state.step, lo, hi, 4 * r + dir_salt)
+    m &= u < w
+    return m, u
+
+
+def match_reactions(spec: SimSpec, cfg: EngineConfig, state: MDState, seed):
+    """Find fired reaction events this interval.
+
+    Returns (ev_valid, ev_a, ev_b, ev_r) each (max_events,): ``a`` is the
+    type_1 side.  Each particle appears in at most one event.
+    """
+    n = state.pos.shape[0]
+    i_idx = jnp.arange(n, dtype=I32)[:, None]
+    j = state.nbr.idx
+    dr = state.pos[:, None, :] - state.pos[j]
+    dr -= state.box * jnp.round(dr / state.box)
+    r2 = jnp.sum(dr * dr, axis=-1)
+    slot_valid = (j != i_idx) & state.active[:, None] & state.active[j]
+
+    big = jnp.float32(1e30)
+    best_u = jnp.full((n, j.shape[1]), big)
+    best_r = jnp.full((n, j.shape[1]), -1, I32)
+    best_dir = jnp.zeros((n, j.shape[1]), bool)
+    for r in range(cfg.n_reactions):
+        for t1_is_lo in (True, False):
+            m, u = _channel_accept(spec, cfg, state, seed, i_idx, j, r2,
+                                   slot_valid, r, jnp.asarray(t1_is_lo))
+            better = m & (u < best_u)
+            best_u = jnp.where(better, u, best_u)
+            best_r = jnp.where(better, r, best_r)
+            best_dir = jnp.where(better, t1_is_lo, best_dir)
+
+    accepted = best_r >= 0
+    key = jnp.where(accepted, jnp.where(cfg.nearest_mode, r2, best_u), big)
+
+    # mutual-argmin matching
+    slot = jnp.argmin(key, axis=1)                      # (N,)
+    row = jnp.arange(n, dtype=I32)
+    partner = jnp.where(accepted[row, slot], j[row, slot], -1)
+    pp = jnp.where(partner >= 0, partner[jnp.maximum(partner, 0)], -2)
+    fire = (partner >= 0) & (pp == row) & (row < partner)
+
+    my_key = key[row, slot]
+    my_r = best_r[row, slot]
+    my_dir = best_dir[row, slot]
+
+    # global event cap by priority
+    order = jnp.argsort(jnp.where(fire, my_key, big))
+    take = order[: cfg.max_events]
+    ev_valid = fire[take]
+    if cfg.max_per_interval > 0:
+        ev_valid &= jnp.arange(cfg.max_events) < cfg.max_per_interval
+    lo = jnp.minimum(take, partner[take])
+    hi = jnp.maximum(take, partner[take])
+    t1_side = jnp.where(my_dir[take], lo, hi)
+    t2_side = jnp.where(my_dir[take], hi, lo)
+    ev_a = jnp.where(ev_valid, t1_side, -1)
+    ev_b = jnp.where(ev_valid, t2_side, -1)
+    ev_r = jnp.where(ev_valid, my_r[take], -1)
+    return ev_valid, ev_a, ev_b, ev_r
+
+
+# ---------------------------------------------------------------------------
+# dissociation
+# ---------------------------------------------------------------------------
+
+def match_dissociations(spec: SimSpec, cfg: EngineConfig, state: MDState, seed):
+    """Find bond rows to break (ev_valid, ev_row, ev_r), each (max_events,)."""
+    bonds = state.bonds
+    i = jnp.maximum(bonds.idx[:, 0], 0)
+    j = jnp.maximum(bonds.idx[:, 1], 0)
+    valid = bonds.valid
+    dr = state.pos[i] - state.pos[j]
+    dr -= state.box * jnp.round(dr / state.box)
+    r2 = jnp.sum(dr * dr, axis=-1)
+    lo = jnp.minimum(i, j)
+    hi = jnp.maximum(i, j)
+
+    big = jnp.float32(1e30)
+    cap = bonds.capacity
+    best_u = jnp.full(cap, big)
+    best_r = jnp.full(cap, -1, I32)
+    for r in range(cfg.n_reactions):
+        ti, tj = state.type_id[i], state.type_id[j]
+        si, sj = state.chem_state[i], state.chem_state[j]
+        fwd = (ti == spec.r_t1[r]) & (tj == spec.r_t2[r]) \
+            & (si >= spec.r_min1[r]) & (si < spec.r_max1[r]) \
+            & (sj >= spec.r_min2[r]) & (sj < spec.r_max2[r])
+        bwd = (tj == spec.r_t1[r]) & (ti == spec.r_t2[r]) \
+            & (sj >= spec.r_min1[r]) & (sj < spec.r_max1[r]) \
+            & (si >= spec.r_min2[r]) & (si < spec.r_max2[r])
+        m = valid & spec.r_is_diss[r] & state.reaction_active[r] & (fwd | bwd)
+        dt_i = spec.dt * cfg.reaction_interval
+        u1 = pair_uniform(seed, state.step, lo, hi, 1024 + 4 * r)
+        u2 = pair_uniform(seed, state.step, lo, hi, 1024 + 4 * r + 1)
+        far_break = (r2 > spec.r_cutoff2[r]) & (u1 < state.reaction_rates[r] * dt_i)
+        spont = u2 < spec.r_diss_rate[r] * dt_i
+        m &= far_break | spont
+        better = m & (u1 < best_u)
+        best_u = jnp.where(better, u1, best_u)
+        best_r = jnp.where(better, r, best_r)
+
+    broke = best_r >= 0
+    order = jnp.argsort(jnp.where(broke, best_u, big))
+    take = order[: cfg.max_events]
+    ev_valid = broke[take]
+    ev_row = jnp.where(ev_valid, take, -1)
+    ev_r = jnp.where(ev_valid, best_r[take], -1)
+    return ev_valid, ev_row, ev_r
+
+
+# ---------------------------------------------------------------------------
+# event application
+# ---------------------------------------------------------------------------
+
+def _generate_terms_for_bond(spec: SimSpec, state: MDState, a, b, enable,
+                             add_excl: bool):
+    """TopologyManager reaction to one new bond: angles/dihedrals by type
+    signature + exclusions (ref: SURVEY.md §3.3 bottom)."""
+    ac = jnp.maximum(a, 0)
+    bc = jnp.maximum(b, 0)
+
+    ang_idx, ang_v = topo.enumerate_new_angles(state.adj, ac, bc)
+    ang_v &= enable
+    t = state.type_id[jnp.maximum(ang_idx, 0)]
+    funcs = spec.angle_func_tt[t[:, 0], t[:, 1], t[:, 2]]
+    pars = spec.angle_par_tt[t[:, 0], t[:, 1], t[:, 2]]
+    ang_v &= funcs > 0
+    angles, ov1 = topo.table_append(
+        state.angles, ang_idx, funcs, pars, ang_v)
+
+    dih_idx, dih_v = topo.enumerate_new_dihedrals(state.adj, ac, bc)
+    dih_v &= enable
+    if state.dihedrals.capacity > 1:
+        td = state.type_id[jnp.maximum(dih_idx, 0)]
+        dfuncs = spec.dih_func_tt[td[:, 0], td[:, 1], td[:, 2], td[:, 3]]
+        dpars = spec.dih_par_tt[td[:, 0], td[:, 1], td[:, 2], td[:, 3]]
+        dih_v &= dfuncs > 0
+        dihedrals, ov2 = topo.table_append(
+            state.dihedrals, dih_idx, dfuncs, dpars, dih_v)
+    else:
+        dihedrals, ov2 = state.dihedrals, jnp.asarray(False)
+        dih_v = jnp.zeros_like(dih_v)
+
+    excl, n_excl = state.excl, state.n_excl
+    ov3 = jnp.asarray(False)
+    if add_excl:
+        pairs = jnp.concatenate([
+            jnp.stack([ac, bc])[None, :],
+            ang_idx[:, (0, 2)],
+            dih_idx[:, (0, 3)],
+        ])
+        pv = jnp.concatenate([enable[None], ang_v, dih_v])
+        excl, n_excl, ov3 = topo.excl_append(excl, n_excl, pairs, pv)
+
+    return dataclasses.replace(state, angles=angles, dihedrals=dihedrals,
+                               excl=excl, n_excl=n_excl), ov1 | ov2 | ov3
+
+
+def apply_reaction_events(spec: SimSpec, cfg: EngineConfig, state: MDState,
+                          ev_valid, ev_a, ev_b, ev_r):
+    """Apply fired normal-reaction events (scan, one event at a time so the
+    topology each event sees includes all earlier events — terms containing
+    several new edges are generated exactly once)."""
+
+    # -- per-particle updates (vectorized; particles appear in <=1 event) --
+    rr = jnp.maximum(ev_r, 0)
+    ac = jnp.maximum(ev_a, 0)
+    bc = jnp.maximum(ev_b, 0)
+    chem = state.chem_state
+    chem = chem.at[jnp.where(ev_valid, ac, chem.shape[0])].add(
+        spec.r_delta1[rr], mode="drop")
+    chem = chem.at[jnp.where(ev_valid, bc, chem.shape[0])].add(
+        spec.r_delta2[rr], mode="drop")
+    state = dataclasses.replace(state, chem_state=chem)
+    counts = state.reaction_counts.at[
+        jnp.where(ev_valid, rr, cfg.n_reactions)].add(1, mode="drop")
+    intra = jnp.sum(ev_valid & (state.mol_id[ac] == state.mol_id[bc]))
+    inter = jnp.sum(ev_valid) - intra
+    state = dataclasses.replace(
+        state, reaction_counts=counts,
+        intra_counts=state.intra_counts + jnp.stack([intra, inter]).astype(I32))
+
+    for e_side, new_t in ((ac, spec.r_new_type1[rr]), (bc, spec.r_new_type2[rr])):
+        do = ev_valid
+        te = jnp.where(do & (new_t >= 0), new_t, -1)
+        tid = state.type_id.at[jnp.where(te >= 0, e_side, state.type_id.shape[0])
+                               ].set(jnp.maximum(te, 0), mode="drop")
+        mass = state.mass.at[jnp.where(te >= 0, e_side, state.mass.shape[0])
+                             ].set(spec.type_mass[jnp.maximum(te, 0)], mode="drop")
+        qq = state.q.at[jnp.where(te >= 0, e_side, state.q.shape[0])
+                        ].set(spec.type_q[jnp.maximum(te, 0)], mode="drop")
+        state = dataclasses.replace(state, type_id=tid, mass=mass, q=qq)
+
+    # -- sequential per-event updates (reference order per event: bond ->
+    #    post-processes -> TopologyManager generation, so the generated
+    #    angles/dihedrals see post-transfer types; ref SURVEY.md §3.3) --
+    new_lam = jnp.where(spec.hybrid_bond_rate > 0.0, 0.0, 1.0)
+
+    def _apply_ppnb(st, valid, a, b, r):
+        """ChangeNeighboursProperty: BFS type transfers around the event
+        (ref: reaction_post_process.py:76-115)."""
+        dist_a = topo.bfs_distances(st.adj, jnp.where(valid, a, -1),
+                                    cfg.max_nb_level)
+        dist_b = topo.bfs_distances(st.adj, jnp.where(valid, b, -1),
+                                    cfg.max_nb_level)
+        tid, chem = st.type_id, st.chem_state
+        mass, q = st.mass, st.q
+        for p in range(cfg.max_ppnb):
+            owner = spec.ppnb_reaction[p] == r
+            side = spec.ppnb_side[p]
+            for s_code, dist in ((0, dist_a), (1, dist_b)):
+                use = valid & owner & ((side == s_code) | (side == 2))
+                m = use & (dist == spec.ppnb_level[p]) \
+                    & (tid == spec.ppnb_old_type[p]) \
+                    & (chem >= spec.ppnb_min_state[p]) \
+                    & (chem < spec.ppnb_max_state[p]) & st.active
+                nt = spec.ppnb_new_type[p]
+                tid = jnp.where(m, nt, tid)
+                mass = jnp.where(m, spec.type_mass[nt], mass)
+                q = jnp.where(m, spec.type_q[nt], q)
+                ns = spec.ppnb_new_state[p]
+                chem = jnp.where(
+                    m, jnp.where(ns >= 0, ns, chem + spec.ppnb_incr_state[p]),
+                    chem)
+        return dataclasses.replace(st, type_id=tid, chem_state=chem,
+                                   mass=mass, q=q)
+
+    def body(carry, ev):
+        st, overflow = carry
+        valid, a, b, r = ev
+        grp = jnp.maximum(spec.r_group[jnp.maximum(r, 0)], 0)
+        make_bond = valid & ~spec.r_virtual[jnp.maximum(r, 0)]
+
+        bonds, ov1 = topo.table_append(
+            st.bonds,
+            jnp.stack([a, b])[None, :],
+            spec.g_func[grp][None],
+            spec.g_params[grp][None, :],
+            make_bond[None],
+            typelookup=jnp.zeros(1, bool),
+            lam=jnp.full(1, new_lam, st.bonds.lam.dtype),
+            group=grp[None])
+        adj, ov2 = topo.adj_add_edge(st.adj, a, b, make_bond)
+        mol = topo.merge_molecules(st.mol_id, a, b, make_bond)
+        st = dataclasses.replace(st, bonds=bonds, adj=adj, mol_id=mol)
+        if cfg.max_ppnb > 0:
+            st = _apply_ppnb(st, valid, a, b, r)
+        st, ov3 = _generate_terms_for_bond(spec, st, a, b, make_bond,
+                                           cfg.exclude_new_bonds)
+        return (st, overflow | ov1 | ov2 | ov3), None
+
+    (state, overflow), _ = jax.lax.scan(
+        body, (state, jnp.asarray(False)),
+        (ev_valid, ev_a, ev_b, ev_r))
+
+    return state, overflow
+
+
+def apply_dissociation_events(spec: SimSpec, cfg: EngineConfig, state: MDState,
+                              ev_valid, ev_row, ev_r):
+    """Break bonds: invalidate rows + dependent angles/dihedrals/exclusions,
+    apply per-side deltas/type changes, relabel molecules."""
+    any_break = jnp.any(ev_valid)
+    rows = jnp.maximum(ev_row, 0)
+    edges = state.bonds.idx[rows]           # (E, 2)
+    a = jnp.maximum(edges[:, 0], 0)
+    b = jnp.maximum(edges[:, 1], 0)
+    rr = jnp.maximum(ev_r, 0)
+
+    # orientation: reference dissociation equations give per-side deltas for
+    # (type_1, type_2); map side by matching the type_1 type
+    a_is_t1 = state.type_id[a] == spec.r_t1[rr]
+    d_a = jnp.where(a_is_t1, spec.r_delta1[rr], spec.r_delta2[rr])
+    d_b = jnp.where(a_is_t1, spec.r_delta2[rr], spec.r_delta1[rr])
+    nt_a = jnp.where(a_is_t1, spec.r_new_type1[rr], spec.r_new_type2[rr])
+    nt_b = jnp.where(a_is_t1, spec.r_new_type2[rr], spec.r_new_type1[rr])
+
+    n = state.chem_state.shape[0]
+    chem = state.chem_state
+    chem = chem.at[jnp.where(ev_valid, a, n)].add(d_a, mode="drop")
+    chem = chem.at[jnp.where(ev_valid, b, n)].add(d_b, mode="drop")
+    tid, mass, q = state.type_id, state.mass, state.q
+    for p, nt in ((a, nt_a), (b, nt_b)):
+        sel = jnp.where(ev_valid & (nt >= 0), p, n)
+        tid = tid.at[sel].set(jnp.maximum(nt, 0), mode="drop")
+        mass = mass.at[sel].set(spec.type_mass[jnp.maximum(nt, 0)], mode="drop")
+        q = q.at[sel].set(spec.type_q[jnp.maximum(nt, 0)], mode="drop")
+    counts = state.reaction_counts.at[
+        jnp.where(ev_valid, rr, cfg.n_reactions)].add(1, mode="drop")
+    state = dataclasses.replace(state, chem_state=chem, type_id=tid, mass=mass,
+                                q=q, reaction_counts=counts)
+
+    # invalidate the bond rows themselves
+    bond_idx = state.bonds.idx.at[jnp.where(ev_valid, rows, state.bonds.capacity)
+                                  ].set(-1, mode="drop")
+    bonds = dataclasses.replace(state.bonds, idx=bond_idx)
+
+    # dependent angles/dihedrals + their exclusions
+    angles, hit_a = topo.invalidate_terms_with_edges(state.angles, edges, ev_valid)
+    dihedrals, hit_d = topo.invalidate_terms_with_edges(state.dihedrals, edges,
+                                                        ev_valid)
+    excl = topo.excl_remove(state.excl, edges, ev_valid)
+    excl = topo.excl_remove(excl, state.angles.idx[:, (0, 2)], hit_a)
+    if state.dihedrals.capacity > 1:
+        excl = topo.excl_remove(excl, state.dihedrals.idx[:, (0, 3)], hit_d)
+
+    adj = state.adj
+    def rm(k, adj):
+        return topo.adj_remove_edge(adj, edges[k, 0], edges[k, 1], ev_valid[k])
+    adj = jax.lax.fori_loop(0, edges.shape[0], rm, adj)
+
+    state = dataclasses.replace(state, bonds=bonds, angles=angles,
+                                dihedrals=dihedrals, excl=excl, adj=adj)
+
+    # molecules may have split: full relabel (gated — it is the expensive part)
+    mol = jax.lax.cond(
+        any_break,
+        lambda: topo.relabel_components(state.adj, state.active),
+        lambda: state.mol_id)
+    return dataclasses.replace(state, mol_id=mol)
+
+
+# ---------------------------------------------------------------------------
+# ATRP activator (ref: reaction_post_process.py:380-426)
+# ---------------------------------------------------------------------------
+
+def atrp_step(spec: SimSpec, cfg: EngineConfig, state: MDState):
+    """Activator/deactivator equilibrium MC over randomly sampled particles.
+
+    Samples up to ``atrp_num`` candidate slots; each matching a reactive
+    center flips with W = k * ratio(pool); the catalyst pool shifts by
+    delta_catalyst per accepted flip.
+    """
+    key, k1, k2 = jax.random.split(state.key, 3)
+    n = state.pos.shape[0]
+    num = cfg.atrp_num
+    picks = jax.random.randint(k1, (num,), 0, cfg.n_particles)
+    u = jax.random.uniform(k2, (num,))
+
+    tid = state.type_id
+    chem = state.chem_state
+    ratios = state.atrp_ratios          # [activator, deactivator]
+    stats = state.atrp_stats
+
+    # a particle may be sampled twice; dedup by keeping first occurrence
+    order_first = jnp.arange(num)
+    seen = jnp.zeros(n, I32).at[picks].max(order_first[::-1], mode="drop")
+    is_first = seen[picks] == order_first[::-1]
+
+    def body(carry, x):
+        tid, chem, mass, q, ratios, stats = carry
+        p, uu, fresh = x
+        t = tid[p]
+        s = chem[p]
+        done = jnp.asarray(False)
+        for e in range(cfg.n_atrp):
+            is_act = spec.atrp_is_activator[e]
+            # entry matches when type+state match; activator entries consume
+            # the deactivator pool and vice versa
+            pool = jnp.where(is_act, ratios[0], ratios[1])
+            k = jnp.where(is_act, spec.atrp_k_activate, spec.atrp_k_deactivate)
+            m = (~done & fresh & state.active[p]
+                 & (t == spec.atrp_type[e]) & (s == spec.atrp_state[e])
+                 & (uu < k * pool))
+            nt = spec.atrp_new_type[e]
+            tid = tid.at[p].set(jnp.where(m, nt, tid[p]))
+            mass = mass.at[p].set(jnp.where(m, spec.type_mass[nt], mass[p]))
+            q = q.at[p].set(jnp.where(m, spec.type_q[nt], q[p]))
+            chem = chem.at[p].set(jnp.where(m, chem[p] + spec.atrp_delta[e],
+                                            chem[p]))
+            dc = jnp.where(is_act, -spec.atrp_delta_catalyst,
+                           spec.atrp_delta_catalyst)
+            ratios = jnp.where(m, ratios + jnp.stack([dc, -dc]), ratios)
+            stats = jnp.where(m, stats + jnp.where(is_act,
+                                                   jnp.asarray([1, 0], I32),
+                                                   jnp.asarray([0, 1], I32)),
+                              stats)
+            done = done | m
+        return (tid, chem, mass, q, ratios, stats), None
+
+    (tid, chem, mass, q, ratios, stats), _ = jax.lax.scan(
+        body, (tid, chem, state.mass, state.q, ratios, stats),
+        (picks, u, is_first))
+    return dataclasses.replace(state, key=key, type_id=tid, chem_state=chem,
+                               mass=mass, q=q, atrp_ratios=ratios,
+                               atrp_stats=stats)
+
+
+# ---------------------------------------------------------------------------
+# the full reaction step
+# ---------------------------------------------------------------------------
+
+def reaction_step(spec: SimSpec, cfg: EngineConfig, state: MDState,
+                  rng_seed: int = 0) -> MDState:
+    """One ChemicalReaction invocation (every ``interval`` MD steps)."""
+    seed = jnp.asarray(rng_seed, jnp.uint32)
+
+    ev_valid, ev_a, ev_b, ev_r = match_reactions(spec, cfg, state, seed)
+    state, _overflow = apply_reaction_events(spec, cfg, state,
+                                             ev_valid, ev_a, ev_b, ev_r)
+
+    if cfg.has_dissociation:
+        dv, drow, dr = match_dissociations(spec, cfg, state, seed)
+        state = jax.lax.cond(
+            jnp.any(dv),
+            lambda st: apply_dissociation_events(spec, cfg, st, dv, drow, dr),
+            lambda st: st,
+            state)
+
+    # topology/exclusions changed: force a neighbor rebuild
+    rc_skin = jnp.sqrt(jnp.max(spec.pair_cutoff2)) + spec.skin
+    nbr = neighbor.build_neighbor_state(
+        state.pos, state.box, state.active, state.excl, rc_skin,
+        dims=cfg.cell_dims, cell_cap=cfg.cell_cap,
+        max_neighbors=cfg.max_neighbors, excl_cap=cfg.excl_cap)
+    nbr = dataclasses.replace(nbr, n_rebuilds=state.nbr.n_rebuilds + 1,
+                              overflow=state.nbr.overflow | nbr.overflow)
+    return dataclasses.replace(state, nbr=nbr)

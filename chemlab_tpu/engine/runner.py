@@ -1,0 +1,98 @@
+"""Fused multi-step run blocks.
+
+The reference's hot path is ``integrator.run(integrator_step)`` — a C++ loop
+that Python re-enters every ``int_step`` steps for observables/dumps/stop
+checks (ref: start_simulation.py:728-797).  Here the same structure is one
+jitted ``lax.fori_loop`` over fused MD steps with the interval-gated
+extensions (ChemicalReaction, ATRPActivator, hybrid-bond lambda ramp) folded
+in, so a whole outer iteration is a single XLA program launch and the host
+syncs only at block boundaries.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from . import integrate, observables, reactions
+from .spec import EngineConfig, SimSpec
+from .state import MDState
+
+
+def _hybrid_lambda_ramp(spec: SimSpec, state: MDState) -> MDState:
+    """Per-step lambda ramp for reaction-created (hybrid) bonds
+    (FixedListDynamicResolution; ref: start_simulation.py:289-293)."""
+    lam = state.bonds.lam
+    ramp = jnp.where((state.bonds.group >= 0) & (lam < 1.0),
+                     jnp.minimum(lam + spec.hybrid_bond_rate, 1.0), lam)
+    return dataclasses.replace(
+        state, bonds=dataclasses.replace(state.bonds, lam=ramp))
+
+
+def step_with_extensions(spec: SimSpec, cfg: EngineConfig, state: MDState,
+                         rng_seed: int = 0) -> MDState:
+    """One MD step + interval-gated extensions (the engine hot loop)."""
+    state = integrate.md_step(spec, cfg, state)
+    if cfg.has_reactions:
+        state = _hybrid_lambda_ramp(spec, state)
+        fire = state.reactions_on & (state.step % cfg.reaction_interval == 0)
+        state = jax.lax.cond(
+            fire,
+            lambda st: reactions.reaction_step(spec, cfg, st, rng_seed),
+            lambda st: st,
+            state)
+    if cfg.has_atrp:
+        fire = state.reactions_on & (state.step % cfg.atrp_interval == 0)
+        state = jax.lax.cond(
+            fire,
+            lambda st: reactions.atrp_step(spec, cfg, st),
+            lambda st: st,
+            state)
+    return state
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "rng_seed"))
+def run_block(spec: SimSpec, cfg: EngineConfig, state: MDState,
+              n_steps: int, rng_seed: int = 0) -> MDState:
+    """Run ``n_steps`` fused steps (one outer-loop iteration)."""
+    def body(_, st):
+        return step_with_extensions(spec, cfg, st, rng_seed)
+
+    return jax.lax.fori_loop(0, n_steps, body, state)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def initial_forces(spec: SimSpec, cfg: EngineConfig, state: MDState) -> MDState:
+    """Populate state.force before the first step (the reference engine
+    computes forces during integrator initialization)."""
+    force, _, _ = integrate.compute_forces(spec, cfg, state)
+    return dataclasses.replace(state, force=force)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def measure(spec: SimSpec, cfg: EngineConfig, state: MDState):
+    """One fused observable pass: the SystemMonitor analog.
+
+    Returns a dict of scalars: temperature, kinetic energy, per-term
+    potential energies, conversions, per-group bond counts, counters.
+    """
+    force, energies, obs_x = integrate.compute_forces(spec, cfg, state)
+    out = dict(energies)
+    out["T"] = observables.temperature(state.mass, state.vel, state.active,
+                                       spec.thermal_type_mask, state.type_id)
+    out["ekin"] = observables.kinetic_energy(state.mass, state.vel, state.active)
+    out["epot"] = sum(energies.values())
+    out["conversions"] = obs_x
+    if cfg.n_groups:
+        out["group_bonds"] = observables.group_bond_counts(state.bonds,
+                                                           cfg.n_groups)
+    out["reaction_counts"] = state.reaction_counts
+    out["n_bonds"] = jnp.sum(state.bonds.valid.astype(jnp.int32))
+    out["n_angles"] = jnp.sum(state.angles.valid.astype(jnp.int32))
+    out["n_dihedrals"] = jnp.sum(state.dihedrals.valid.astype(jnp.int32))
+    out["n_excl"] = state.n_excl
+    out["overflow"] = state.nbr.overflow
+    return out

@@ -89,6 +89,8 @@ class EngineConfig:
     has_atrp: bool
     n_atrp: int               # ATRP reactive-center entry count
     atrp_interval: int
+    atrp_num: int             # particles sampled per ATRP invocation
+    has_dissociation: bool
 
 
 @_dataclass

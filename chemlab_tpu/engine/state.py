@@ -146,6 +146,7 @@ class MDState:
     box: jnp.ndarray        # (3,) float32
 
     # reaction runtime parameters (mutable: rates via arrhenius, active flags)
+    reactions_on: jnp.ndarray      # () bool — master switch (start_ar gate)
     reaction_rates: jnp.ndarray    # (R,) float32
     reaction_active: jnp.ndarray   # (R,) bool
     reaction_counts: jnp.ndarray   # (R,) int32 accepted events per channel
