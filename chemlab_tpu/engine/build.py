@@ -532,14 +532,17 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
     rc_skin = max_cutoff + opts.skin
     density = n / float(np.prod(box))
     if opts.max_neighbors is None:
+        # 2.2x the homogeneous estimate: reactive runs densify locally as
+        # polymer networks form, well past equilibrium-melt fluctuations
         k_est = density * 4.0 / 3.0 * math.pi * rc_skin**3
-        max_neighbors = _round_up(max(int(k_est * 1.7) + 12, 16), 8)
+        max_neighbors = _round_up(max(int(k_est * 2.2) + 16, 24), 8)
     else:
         max_neighbors = opts.max_neighbors
     cell_dims = neighbor.choose_cell_grid(box, rc_skin)
     if opts.cell_cap is None:
+        # 3x mean occupancy: polymerizing systems develop dense pockets
         cell_vol = float(np.prod(box / np.asarray(cell_dims)))
-        cell_cap = _round_up(max(int(density * cell_vol * 2.0) + 8, 8), 8)
+        cell_cap = _round_up(max(int(density * cell_vol * 3.0) + 12, 8), 8)
     else:
         cell_cap = opts.cell_cap
 

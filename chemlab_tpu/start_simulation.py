@@ -1,0 +1,396 @@
+"""Simulation orchestration: the chemlab CLI, TPU-native.
+
+Behavioral port of the reference's ``src/start_simulation.py`` main()
+(ref: start_simulation.py:48-1082): parse ``@params`` flags, read topology
+and coordinates, compile the system onto the device, wire reactions and
+observables, run the stepped main loop (reaction enable at ``start_ar``,
+conversion stop criteria, Arrhenius rate updates, hooks), and write the
+output set (H5MD trajectory + connectivity, energy CSV, final/unfolded .gro,
+regenerated .top, reaction counters, benchmark row).
+
+The engine boundary here is ``runner.run_block`` — one fused XLA program per
+outer iteration instead of a C++ integrator call.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+from . import app_args, files_io, reaction_parser, tools, writers
+from .topology import build_system_topology
+
+logger = logging.getLogger(__name__)
+
+
+class _ConversionCollector:
+    """Collects conversion requests before the engine ObsRegistry exists."""
+
+    def __init__(self):
+        self.items = []
+
+    def register(self, entries, total):
+        self.items.append((tuple(entries), total))
+        return len(self.items) - 1
+
+
+@dataclasses.dataclass
+class SimulationContext:
+    """What hook functions receive (the reference passes the espressopp
+    system/integrator; ref: start_simulation.py:220-228)."""
+
+    args: object
+    systop: object
+    built: object
+    state: object      # MDState — hooks may replace fields via modify_particle
+    step: int = 0
+
+    def modify_particle(self, pid, **props):
+        """storage.modifyParticle equivalent; pid is the 1-based atom id."""
+        import jax.numpy as jnp
+
+        row = pid - 1
+        st = self.state
+        mapping = {"type": "type_id", "state": "chem_state", "mass": "mass",
+                   "q": "q", "lambda_adr": "lam", "res_id": "res_id"}
+        for k, v in props.items():
+            field = mapping.get(k, k)
+            arr = getattr(st, field)
+            st = dataclasses.replace(st, **{field: arr.at[row].set(v)})
+        self.state = st
+
+    def type_id_of(self, symbol):
+        return self.systop.atomsym_atomtype[symbol]
+
+
+def _load_hooks(path):
+    hooks = {}
+    if path and os.path.exists(path):
+        ns = {}
+        with open(path) as f:
+            code = f.read()
+        exec(compile(code, path, "exec"), ns)  # hooks are user code, like the
+        hooks = {k: v for k, v in ns.items() if k.startswith("hook_")}
+        logger.info("loaded hooks from %s: %s", path, sorted(hooks))
+    return hooks
+
+
+def _call_hook(hooks, name, ctx, *extra):
+    fn = hooks.get(name)
+    if fn is None:
+        return True
+    ret = fn(ctx, *extra)
+    return True if ret is None else bool(ret)
+
+
+def build_sim_options(args, table_dirs):
+    from .engine.build import SimOptions
+
+    return SimOptions(
+        lj_cutoff=args.lj_cutoff,
+        cg_cutoff=args.cg_cutoff,
+        coulomb_cutoff=args.coulomb_cutoff if args.coulomb_cutoff else 0.0,
+        skin=args.skin,
+        dt=args.dt,
+        kT=args.kb * args.temperature,
+        thermostat=args.thermostat,
+        thermostat_gamma=args.thermostat_gamma,
+        barostat=args.barostat if args.pressure else "no",
+        pressure=args.pressure or 0.0,
+        barostat_tau=args.barostat_tau,
+        barostat_gammaP=args.barostat_gammaP,
+        barostat_mass=args.barostat_mass,
+        max_force=args.max_force,
+        table_groups=tuple((args.table_groups or "").split(",")) if args.table_groups else (),
+        thermal_groups=tuple((args.thermal_groups or "").split(",")) if args.thermal_groups else (),
+        rng_seed=args.rng_seed,
+        gen_velocity=args.gen_velocity,
+        t_hybrid_bond=args.t_hybrid_bond,
+        exclude_new_bonds=not args.do_not_exclude_bonds,
+        table_dirs=table_dirs,
+        output_prefix=args.output_prefix,
+    )
+
+
+def _bond_type_counts(state, n_types):
+    """Host-side bond count per unordered type pair (stop criteria T1-T2)."""
+    idx = np.asarray(state.bonds.idx)
+    valid = idx[:, 0] >= 0
+    tid = np.asarray(state.type_id)
+    out = {}
+    for i, j in idx[valid]:
+        key = tuple(sorted((int(tid[i]), int(tid[j]))))
+        out[key] = out.get(key, 0) + 1
+    return out
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+
+    from .engine import build, runner
+
+    parser, args = app_args.parse_args(argv)
+    t_wall = time.time()
+
+    out_prefix = args.output_prefix
+    out_dir = os.path.dirname(out_prefix)
+    if out_dir and not os.path.isdir(out_dir):
+        os.makedirs(out_dir)
+    parser.save_to_file("%s_params.out" % out_prefix, args)
+
+    if args.debug:
+        for item in args.debug.split(","):
+            name = item.split(":")[0]
+            logging.getLogger(name).setLevel(logging.DEBUG)
+
+    table_dirs = (os.path.dirname(os.path.abspath(args.top)) or ".", ".")
+
+    logger.info("reading topology %s", args.top)
+    systop = build_system_topology(args.top,
+                                   generate_excl=args.exclusion_list is None)
+    if args.exclusion_list:
+        excl = set()
+        with open(args.exclusion_list) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 2:
+                    a, b = int(parts[0]), int(parts[1])
+                    excl.add((min(a, b), max(a, b)))
+        systop.exclusions = excl
+
+    coords = files_io.read_coordinates(args.conf)
+    print("Reads %d particles" % coords.n_atoms)
+
+    rcfg = None
+    if args.reactions:
+        rcfg = reaction_parser.parse_config(args.reactions)
+
+    collector = _ConversionCollector()
+    criteria = []
+    if args.maximum_conversion:
+        criteria = tools.parse_maximum_conversion(args.maximum_conversion,
+                                                  systop, collector)
+    if args.count_types:
+        for label, tid in tools.parse_count_types(args.count_types, systop):
+            collector.register([(tid, None)], 1)
+    if args.count_types_state:
+        for label, tid, stt in tools.parse_count_types_state(
+                args.count_types_state, systop):
+            collector.register([(tid, stt)], 1)
+
+    opts = build_sim_options(args, table_dirs)
+    built = build.build_system(systop, coords, opts, reaction_config=rcfg,
+                               extra_conversions=collector.items)
+    cfg, spec = built.cfg, built.spec
+    state = runner.initial_forces(spec, cfg, built.state)
+    print("Particles: %d (padded %d), types: %d, reactions: %d" % (
+        cfg.n_particles, cfg.n_pad, cfg.n_types, cfg.n_reactions))
+
+    # remap collector indices -> engine observable ids
+    def obs_id(collector_idx):
+        return built.extra_obs_idx[collector_idx]
+
+    for c in criteria:
+        if c.kind == "conversion":
+            c.obs_idx = obs_id(c.obs_idx)
+
+    hooks_path = args.hooks or (
+        "hooks.py" if os.path.exists("hooks.py") else None)
+    hooks = _load_hooks(hooks_path)
+    ctx = SimulationContext(args=args, systop=systop, built=built, state=state)
+    _call_hook(hooks, "hook_postsetup_reaction", ctx)
+    state = ctx.state
+
+    # ---- outputs ----
+    store = {k for k, on in [
+        ("position", args.store_position), ("species", args.store_species),
+        ("state", args.store_state), ("mass", args.store_mass),
+        ("res_id", args.store_res_id), ("charge", args.store_charge),
+        ("velocity", args.store_velocity), ("force", args.store_force),
+        ("lambda_adr", args.store_lambda)] if on}
+    h5 = writers.H5MDWriter(args.output_file, cfg.n_particles,
+                            np.asarray(state.box), store=store,
+                            single_precision=args.store_single_precision)
+    h5.write_parameters(args, force_field=systop.top.atomtypes)
+    emon = writers.SystemMonitorCSV("%s_energy.csv" % out_prefix)
+
+    def dump_frame(st, step):
+        kw = {}
+        n = cfg.n_particles
+        if "position" in store:
+            kw["position"] = np.asarray(st.pos)[:n]
+            kw["image"] = np.asarray(st.image)[:n]
+        if "species" in store:
+            kw["species"] = np.asarray(st.type_id)[:n]
+        if "state" in store:
+            kw["state"] = np.asarray(st.chem_state)[:n]
+        if "mass" in store:
+            kw["mass"] = np.asarray(st.mass)[:n]
+        if "res_id" in store:
+            kw["res_id"] = np.asarray(st.res_id)[:n]
+        if "charge" in store:
+            kw["charge"] = np.asarray(st.q)[:n]
+        if "velocity" in store:
+            kw["velocity"] = np.asarray(st.vel)[:n]
+        if "force" in store:
+            kw["force"] = np.asarray(st.force)[:n]
+        if "lambda_adr" in store:
+            kw["lambda_adr"] = np.asarray(st.lam)[:n]
+        h5.dump(step, step * args.dt, **kw)
+        if cfg.has_reactions:
+            chem_rows = np.asarray(st.bonds.group) >= 0
+            h5.dump_connectivity("chem_bonds_0", step, step * args.dt,
+                                 np.where(chem_rows[:, None],
+                                          np.asarray(st.bonds.idx), -1))
+
+    # ---- main loop (ref: start_simulation.py:728-797) ----
+    integrator_step = args.int_step
+    if cfg.has_reactions:
+        integrator_step = min(integrator_step, cfg.reaction_interval)
+    sim_steps = max(args.run // integrator_step, 1)
+    print("Running %d blocks x %d steps" % (sim_steps, integrator_step))
+
+    reactions_enabled = False
+    conversion_reached = False
+    eq_blocks_left = None
+    t_loop = time.time()
+    k = 0
+    global_step = 0
+    while k < sim_steps:
+        m = runner.measure(spec, cfg, state)
+        row = {"step": global_step, "time": global_step * args.dt,
+               "T": float(m["T"]) / args.kb, "ekin": float(m["ekin"]),
+               "epot": float(m["epot"])}
+        for name in built.term_names:
+            if name in m:
+                row[name] = float(m[name])
+        for kk in ("lj", "lj-tab", "coulomb", "lj14", "coulomb14"):
+            if kk in m:
+                row[kk] = float(m[kk])
+        conv = np.asarray(m["conversions"])
+        for oi in range(conv.shape[0]):
+            row[built.obs.label(oi)] = conv[oi]
+        if cfg.n_groups:
+            for gi, c in enumerate(np.asarray(m["group_bonds"])):
+                row["count_group_%d" % gi] = int(c)
+        emon.row(row)
+        if k % max(args.energy_collect // max(integrator_step, 1), 1) == 0:
+            shown = {kk: v for kk, v in row.items()
+                     if not args.system_monitor_filter
+                     or kk in args.system_monitor_filter.split(",")}
+            print(" ".join("%s=%.4g" % kv for kv in shown.items()))
+        if bool(m["overflow"]):
+            print("WARNING: capacity overflow detected (neighbors/cells/terms)")
+
+        if global_step % args.trj_collect == 0:
+            dump_frame(state, global_step)
+        if args.trj_flush and global_step % args.trj_flush == 0:
+            h5.flush()
+        if args.gro_trj_collect and global_step % args.gro_trj_collect == 0:
+            files_io.write_gro("%s_traj_%d.gro" % (out_prefix, global_step),
+                               writers.state_to_coordinates(state, systop, coords),
+                               backup=False)
+
+        # enable reactions at start_ar (ref: :735-757)
+        if (cfg.has_reactions and not reactions_enabled
+                and global_step >= args.start_ar):
+            if args.save_before_reaction:
+                files_io.write_gro("%s_before_reaction.gro" % out_prefix,
+                                   writers.state_to_coordinates(state, systop, coords))
+            state = dataclasses.replace(state, reactions_on=jnp.asarray(True))
+            ctx.state = state
+            if not _call_hook(hooks, "hook_init_reaction", ctx):
+                raise RuntimeError("hook_init_reaction returned False")
+            state = ctx.state
+            reactions_enabled = True
+            print("Chemical reactions enabled at step %d" % global_step)
+        if (cfg.has_reactions and reactions_enabled and args.stop_ar >= 0
+                and global_step >= args.stop_ar):
+            state = dataclasses.replace(state, reactions_on=jnp.asarray(False))
+            reactions_enabled = False
+
+        # stop criteria (ref: :759-770)
+        if criteria and not conversion_reached:
+            if tools.criteria_reached(criteria, conv,
+                                      _bond_type_counts(state, cfg.n_types)):
+                conversion_reached = True
+                eq_blocks_left = args.eq_steps
+                state = dataclasses.replace(state,
+                                            reactions_on=jnp.asarray(False))
+                print("Maximum conversion reached at step %d" % global_step)
+        if conversion_reached:
+            if eq_blocks_left <= 0 and not args.keep_simulation:
+                break
+            eq_blocks_left -= 1
+
+        state = runner.run_block(spec, cfg, state, integrator_step,
+                                 rng_seed=args.rng_seed)
+        global_step += integrator_step
+        k += 1
+
+        ctx.state, ctx.step = state, global_step
+        if not _call_hook(hooks, "hook_at_step", ctx, global_step):
+            break
+        state = ctx.state
+
+        if args.rate_arrhenius and cfg.has_reactions:
+            # rate = exp(-deltaE / kT) per new bond (ref: :785-796)
+            m2 = runner.measure(spec, cfg, state)
+            d_epot = float(m2["epot"]) - float(m["epot"])
+            n_new = int(np.sum(np.asarray(state.reaction_counts))
+                        - np.sum(np.asarray(m["reaction_counts"])))
+            if n_new > 0:
+                new_rate = math.exp(-(d_epot / n_new) /
+                                    (args.kb * args.temperature))
+                state = dataclasses.replace(
+                    state, reaction_rates=jnp.full_like(state.reaction_rates,
+                                                        new_rate))
+
+    t_loop = time.time() - t_loop
+    _call_hook(hooks, "hook_end", ctx)
+    state = ctx.state
+
+    # ---- output phase (ref: start_simulation.py:800-1082) ----
+    dump_frame(state, global_step)
+    h5.flush()
+    h5.close()
+    emon.close()
+
+    files_io.write_gro("%s_confout.gro" % out_prefix,
+                       writers.state_to_coordinates(state, systop, coords))
+    files_io.write_gro("%s_confout_unfolded.gro" % out_prefix,
+                       writers.state_to_coordinates(state, systop, coords,
+                                                    unfolded=True))
+    writers.write_topology("%s_topol.top" % out_prefix, systop, state)
+
+    if cfg.has_reactions:
+        with open("%s_reaction_counters.csv" % out_prefix, "w") as f:
+            counts = np.asarray(state.reaction_counts)
+            for ridx, eq in (built.reactions.reaction_index.items()
+                             if built.reactions else []):
+                f.write("%d,%s,%d\n" % (ridx, eq, counts[ridx]))
+            intra = np.asarray(state.intra_counts)
+            f.write("intramolecular,,%d\ninter_molecular,,%d\n" %
+                    (intra[0], intra[1]))
+
+    n_devices = len(jax.devices())
+    bench_path = args.benchmark_data or "%s_benchmark.csv" % out_prefix
+    with open(bench_path, "a") as f:
+        f.write("%d %d %.2f %.2f\n" % (n_devices, cfg.n_particles,
+                                       time.time() - t_wall, t_loop))
+    pps = cfg.n_particles * global_step / max(t_loop, 1e-9)
+    print("Total time: %.1fs, loop: %.1fs, particle-steps/s: %.3g" % (
+        time.time() - t_wall, t_loop, pps))
+    print("finished")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
