@@ -383,6 +383,31 @@ def _round_up(x, m):
     return int(-(-x // m) * m)
 
 
+def grow_neighbor_caps(cfg: EngineConfig, spec: SimSpec, state, factor: float = 1.5):
+    """Adaptive capacity regrowth after an overflow flag.
+
+    The reference engine reallocates its cell/Verlet structures freely; with
+    static shapes we instead re-derive a bigger EngineConfig (forcing a
+    re-jit, which is rare) and rebuild the neighbor state with the sticky
+    overflow flag cleared.  Returns (cfg, state).
+    """
+    import jax.numpy as jnp
+
+    cfg = dataclasses.replace(
+        cfg,
+        max_neighbors=_round_up(int(cfg.max_neighbors * factor), 8),
+        cell_cap=_round_up(int(cfg.cell_cap * factor), 8),
+        excl_cap=_round_up(int(cfg.excl_cap * factor), 8),
+    )
+    rc_skin = jnp.sqrt(jnp.max(spec.pair_cutoff2)) + spec.skin
+    nbr = neighbor.build_neighbor_state(
+        state.pos, state.box, state.active, state.excl, rc_skin,
+        dims=cfg.cell_dims, cell_cap=cfg.cell_cap,
+        max_neighbors=cfg.max_neighbors, excl_cap=cfg.excl_cap)
+    nbr = dataclasses.replace(nbr, n_rebuilds=state.nbr.n_rebuilds + 1)
+    return cfg, dataclasses.replace(state, nbr=nbr)
+
+
 @dataclasses.dataclass
 class BuiltSystem:
     cfg: EngineConfig
@@ -531,6 +556,14 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
     max_cutoff = max(opts.lj_cutoff, opts.cg_cutoff, opts.coulomb_cutoff)
     rc_skin = max_cutoff + opts.skin
     density = n / float(np.prod(box))
+    cell_dims = neighbor.choose_cell_grid(box, rc_skin)
+    # observed initial occupancies (host, cheap): caps must hold for the
+    # starting configuration AND leave headroom for reactive densification
+    frac = np.mod(coords.pos, box) / box
+    ci = np.clip((frac * np.asarray(cell_dims)).astype(np.int64), 0,
+                 np.asarray(cell_dims) - 1)
+    cid = (ci[:, 0] * cell_dims[1] + ci[:, 1]) * cell_dims[2] + ci[:, 2]
+    obs_cell_max = int(np.bincount(cid).max()) if n else 0
     if opts.max_neighbors is None:
         # 2.2x the homogeneous estimate: reactive runs densify locally as
         # polymer networks form, well past equilibrium-melt fluctuations
@@ -538,11 +571,11 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
         max_neighbors = _round_up(max(int(k_est * 2.2) + 16, 24), 8)
     else:
         max_neighbors = opts.max_neighbors
-    cell_dims = neighbor.choose_cell_grid(box, rc_skin)
     if opts.cell_cap is None:
         # 3x mean occupancy: polymerizing systems develop dense pockets
         cell_vol = float(np.prod(box / np.asarray(cell_dims)))
-        cell_cap = _round_up(max(int(density * cell_vol * 3.0) + 12, 8), 8)
+        cell_cap = _round_up(max(int(density * cell_vol * 3.0) + 12,
+                                 int(obs_cell_max * 1.5) + 4, 8), 8)
     else:
         cell_cap = opts.cell_cap
 

@@ -196,7 +196,17 @@ def parse_config(input_file: str) -> dict:
     """
     parser = configparser.ConfigParser(strict=False, inline_comment_prefixes=("#", ";"))
     parser.read(input_file)
+    return _process_parsed_config(parser)
 
+
+def parse_config_lines(lines) -> dict:
+    """Parse reaction config from in-memory text (generated test systems)."""
+    parser = configparser.ConfigParser(strict=False, inline_comment_prefixes=("#", ";"))
+    parser.read_string("\n".join(lines))
+    return _process_parsed_config(parser)
+
+
+def _process_parsed_config(parser) -> dict:
     config = {"general": None, "reactions": {}}
     extensions = {}
     deferred_reactions = []

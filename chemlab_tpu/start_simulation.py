@@ -287,7 +287,9 @@ def main(argv=None):
                      or kk in args.system_monitor_filter.split(",")}
             print(" ".join("%s=%.4g" % kv for kv in shown.items()))
         if bool(m["overflow"]):
-            print("WARNING: capacity overflow detected (neighbors/cells/terms)")
+            cfg, state = build.grow_neighbor_caps(cfg, spec, state)
+            print("capacity overflow: neighbor caps regrown to K=%d cell=%d"
+                  % (cfg.max_neighbors, cfg.cell_cap))
 
         if global_step % args.trj_collect == 0:
             dump_frame(state, global_step)

@@ -1,0 +1,254 @@
+"""Programmatic benchmark/test systems (no input files required).
+
+The reference generates its benchmark melt with a script
+(examples/atrp_lj/polymer_melt.py: random chains + warmup); these builders
+produce equivalent systems directly in memory for benchmarks, the graft
+entry points, and sharding tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import files_io, topfile
+from .topology import compile_system_topology
+
+ATRP_CFG_TEXT = """
+[general]
+interval: 200
+nearest=0
+
+[ext_change_neighbour_type]
+ext_type=ChangeNeighboursProperty
+invoke_on=both
+type_transfers=MA:2->PA,ML:1->PL(state=1),ML:2->PL(state=1)
+
+[group_reaction_1]
+potential=Harmonic
+potential_options=K=30.0,r0=0.97
+extensions=change_neighbour_type
+
+[reaction_a]
+reaction: FA(3, 4) + MA(1, 2) -> FA(1):DA(2)
+cutoff: 1.2
+rate: 0.8
+intramolecular: 1
+intraresidual: 0
+active: True
+group: reaction_1
+
+[reaction_b]
+reaction: DA(3, 4) + MA(1, 2) -> RA(1):DA(2)
+cutoff: 1.2
+rate: 0.8
+intramolecular: 1
+intraresidual: 0
+active: True
+group: reaction_1
+"""
+
+
+def _melt_topology_text(n_mols: int) -> str:
+    """An ATRP-style coarse-grained monomer melt: MA-ML-MA trimers with
+    harmonic bonds/angles and unit LJ types (reduced units)."""
+    return """
+[ defaults ]
+1 3
+
+[ atomtypes ]
+  MA    1.0      0.000     A        1            1
+  ML    1.0      0.000     A        1            1
+  PA    1.0      0.000     A        1            1
+  FA    1.0      0.000     A        1            1
+  DA    1.0      0.000     A        1            1
+  RA    1.0      0.000     A        1            1
+  PL    1.0      0.000     A        1            1
+
+[ atomstate ]
+MA 1
+PA 1
+FA 5
+PL 1
+
+[ bondtypes ]
+MA ML 1 0.97 60.0
+PA PL 1 0.97 60.0
+FA PL 1 0.97 60.0
+RA PL 1 0.97 60.0
+DA PL 1 0.97 60.0
+FA RA 1 0.97 60.0
+FA DA 1 0.97 60.0
+DA RA 1 0.97 60.0
+RA RA 1 0.97 60.0
+
+[ angletypes ]
+MA ML MA 1 180.0 2.5
+PA PL RA 1 180.0 2.5
+FA PL RA 1 180.0 2.5
+PA PL FA 1 180.0 2.5
+PA PL DA 1 180.0 2.5
+FA PL FA 1 180.0 2.5
+DA PL DA 1 180.0 2.5
+FA PL DA 1 180.0 2.5
+DA FA PL 1 180.0 2.5
+FA DA PL 1 180.0 2.5
+FA PA PL 1 180.0 2.5
+RA FA PL 1 180.0 2.5
+RA RA PL 1 180.0 2.5
+RA DA PL 1 180.0 2.5
+DA RA PL 1 180.0 2.5
+FA RA DA 1 180.0 2.5
+FA RA RA 1 180.0 2.5
+RA RA RA 1 180.0 2.5
+RA RA DA 1 180.0 2.5
+
+[ moleculetype ]
+TRI 2
+
+[ atoms ]
+1 MA 1 MON AI 1 0.000000 1
+2 ML 1 MON LM 2 0.000000 1
+3 MA 1 MON AJ 3 0.000000 1
+
+[ bonds ]
+1 2
+2 3
+
+[ angles ]
+1 2 3
+
+[ system ]
+generated melt
+
+[ molecules ]
+TRI %d
+""" % n_mols
+
+
+def melt_coordinates(n_mols: int, density: float, bond_r: float = 0.97,
+                     seed: int = 0) -> files_io.Coordinates:
+    """Place trimer molecules at random positions/orientations."""
+    rng = np.random.RandomState(seed)
+    n = 3 * n_mols
+    box_l = float((n / density) ** (1.0 / 3.0))
+    box = np.array([box_l, box_l, box_l])
+    centers = rng.uniform(0, box_l, size=(n_mols, 3))
+    u = rng.normal(size=(n_mols, 3))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    pos = np.empty((n, 3))
+    pos[0::3] = centers - bond_r * u
+    pos[1::3] = centers
+    pos[2::3] = centers + bond_r * u
+    pos = np.mod(pos, box)
+    res = np.repeat(np.arange(1, n_mols + 1), 3)
+    return files_io.Coordinates(
+        title="generated melt",
+        atom_ids=np.arange(1, n + 1),
+        res_idx=res,
+        res_names=["MON"] * n,
+        atom_names=["AI", "LM", "AJ"] * n_mols,
+        pos=pos,
+        vel=None,
+        box=box,
+    )
+
+
+def build_melt(n_mols: int = 2000, density: float = 0.27, kT: float = 1.0,
+               reactive: bool = True, seed: int = 42, **opt_overrides):
+    """Build a full reactive melt system ready to run.
+
+    Returns (BuiltSystem, SystemTopology, Coordinates); matches the scale
+    shape of the reference's atrp_lj benchmark workload (6k particles at
+    n_mols=2000; ref: examples/atrp_lj/single).
+    """
+    from . import reaction_parser
+    from .engine import build
+
+    top = topfile.parse_lines(_melt_topology_text(n_mols).splitlines(),
+                              "<generated>")
+    systop = compile_system_topology(top)
+    coords = melt_coordinates(n_mols, density, seed=seed)
+    rcfg = None
+    if reactive:
+        rcfg = reaction_parser.parse_config_lines(ATRP_CFG_TEXT.splitlines())
+    # capacity sizing for LIQUID density: at eps = kT the sub-critical melt
+    # phase-separates into droplets near rho ~ 0.85/sigma^3, so local
+    # occupancies are ~3x the box mean
+    rc_skin = 2.5 + 0.4
+    rho_liq = 0.95
+    k_liq = int(rho_liq * 4.0 / 3.0 * np.pi * rc_skin**3 * 1.25)
+    opts_kw = dict(lj_cutoff=2.5, cg_cutoff=2.5, skin=0.4, dt=0.0025, kT=kT,
+                   thermostat="lv", thermostat_gamma=1.0, gen_velocity=True,
+                   rng_seed=seed,
+                   max_neighbors=-(-k_liq // 8) * 8,
+                   cell_cap=-(-int(rho_liq * (rc_skin * 1.2)**3 * 1.3) // 8) * 8)
+    opts_kw.update(opt_overrides)
+    opts = build.SimOptions(**opts_kw)
+    built = build.build_system(systop, coords, opts, reaction_config=rcfg)
+    return built, systop, coords
+
+
+def warmup(built, state, steps: int = 400, max_disp: float = 0.05, kT=None,
+           seed: int = 7, **_legacy):
+    """Resolve overlaps in a random configuration, then re-draw velocities.
+
+    Displacement-capped steepest descent (each particle moves along its force
+    by at most ``max_disp``) — the role the reference's warmup script plays
+    (examples/atrp_lj/polymer_melt.py), but deterministic and overlap-proof.
+    """
+    import dataclasses
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from .engine import integrate, runner
+
+    spec, cfg = built.spec, built.cfg
+
+    @functools.partial(jax.jit, static_argnames=())
+    def descend(st):
+        def body(_, st):
+            st = integrate.maybe_rebuild_neighbors(spec, cfg, st)
+            force, _, _ = integrate.compute_forces(spec, cfg, st)
+            fmag = jnp.sqrt(jnp.sum(force**2, -1, keepdims=True) + 1e-20)
+            step_len = jnp.minimum(fmag * 1e-4, max_disp)
+            pos = st.pos + jnp.where(st.active[:, None],
+                                     force / fmag * step_len, 0.0)
+            shift = jnp.floor(pos / st.box).astype(jnp.int32)
+            pos = pos - shift.astype(pos.dtype) * st.box
+            return dataclasses.replace(st, pos=pos)
+
+        return jax.lax.fori_loop(0, steps, body, st)
+
+    state = descend(state)
+    # Maxwell-Boltzmann velocities at the target temperature
+    tgt = float(spec.kT) if kT is None else kT
+    key = jax.random.PRNGKey(seed)
+    v = jax.random.normal(key, state.vel.shape, state.vel.dtype)
+    v = v * jnp.sqrt(tgt / state.mass)[:, None]
+    v = jnp.where(state.active[:, None], v, 0.0)
+    mtot = jnp.sum(jnp.where(state.active, state.mass, 0.0))
+    v = v - jnp.sum(state.mass[:, None] * v, 0) / mtot
+    state = dataclasses.replace(state, vel=v, step=jnp.asarray(0, jnp.int32))
+    return runner.initial_forces(spec, cfg, state)
+
+
+def activate_initiators(built, systop, state, n: int = 20, seed: int = 1):
+    """Flip n MA monomers to FA radicals in state 3 (the hooks.py step)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    tsym = systop.atomsym_atomtype
+    rng = np.random.RandomState(seed)
+    rows = np.where((np.asarray(state.type_id) == tsym["MA"])
+                    & np.asarray(state.active))[0]
+    picks = rng.choice(rows, n, replace=False)
+    tid = np.array(state.type_id)
+    tid[picks] = tsym["FA"]
+    chem = np.array(state.chem_state)
+    chem[picks] = 3
+    return dataclasses.replace(state, type_id=jnp.asarray(tid),
+                               chem_state=jnp.asarray(chem),
+                               reactions_on=jnp.asarray(True))

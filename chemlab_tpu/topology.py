@@ -166,6 +166,16 @@ def build_system_topology(top_file: str, generate_excl: bool = True) -> SystemTo
     """Read + expand a topology file into a :class:`SystemTopology`."""
     top = topfile.read_topology_file(top_file, expand_includes=True)
     master = topfile.read_topology_file(top_file, expand_includes=False)
+    return compile_system_topology(top, master, generate_excl=generate_excl)
+
+
+def compile_system_topology(top: topfile.TopologyFile,
+                            master: topfile.TopologyFile | None = None,
+                            generate_excl: bool = True) -> SystemTopology:
+    """Compile parsed topology objects into a :class:`SystemTopology`
+    (programmatic entry point; used by generated test systems)."""
+    if master is None:
+        master = top
     if top.defaults is None:
         top.defaults = {"nbfunc": 1, "combinationrule": 1, "gen-pairs": False,
                         "fudgeLJ": 1.0, "fudgeQQ": 1.0, "func": 1}
