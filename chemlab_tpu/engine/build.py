@@ -556,7 +556,11 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
     max_cutoff = max(opts.lj_cutoff, opts.cg_cutoff, opts.coulomb_cutoff)
     rc_skin = max_cutoff + opts.skin
     density = n / float(np.prod(box))
-    cell_dims = neighbor.choose_cell_grid(box, rc_skin)
+    # under a barostat the box drifts: size cells with extra margin so the
+    # static grid stays valid (cell edge >= cutoff+skin) as the box shrinks
+    has_barostat = opts.barostat != "no" and opts.pressure > 0
+    cell_dims = neighbor.choose_cell_grid(box, rc_skin,
+                                          margin=1.10 if has_barostat else 1.02)
     # observed initial occupancies (host, cheap): caps must hold for the
     # starting configuration AND leave headroom for reactive densification
     frac = np.mod(coords.pos, box) / box
@@ -823,6 +827,7 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
             rc_skin, dims=cell_dims, cell_cap=cell_cap,
             max_neighbors=max_neighbors, excl_cap=opts.excl_cap),
         box=jnp.asarray(box),
+        baro_v=jnp.asarray(0.0, F32),
         reactions_on=jnp.asarray(False),
         reaction_rates=jnp.asarray(compiled.rates if compiled else np.zeros(0, F32)),
         reaction_active=jnp.asarray(np.ones(n_r, bool)),

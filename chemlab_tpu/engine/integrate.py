@@ -85,6 +85,63 @@ def _rescale_thermostat(spec: SimSpec, cfg: EngineConfig, state: MDState, key):
     return dataclasses.replace(state, vel=vel)
 
 
+def virial_pressure(spec: SimSpec, cfg: EngineConfig, state: MDState):
+    """Instantaneous pressure P = (2 Ekin + W) / 3V with the virial from the
+    strain derivative W = -dU/ds (positions and box scaled by s) — one
+    autodiff pass covers every potential variant, tabulated included
+    (the espressopp analysis.Pressure equivalent; ref: start_simulation.py:357)."""
+    obs_x = observables.conversions(spec, state.type_id, state.chem_state,
+                                    state.active)
+    tab_a, tab_b, mix_x = pair_forces.resolve_pair_tables(spec, obs_x,
+                                                          cfg.n_mix_entries)
+
+    def utotal(s):
+        pos = state.pos * s
+        box = state.box * s
+        _, e_pair = pair_forces.pair_forces(
+            spec, cfg.n_types, pos, box, state.type_id, state.q, state.lam,
+            state.nbr.idx, state.nbr.excl_mask, tab_a, tab_b, mix_x)
+        e_bond = bonded_forces.bonded_energy_terms(
+            spec, cfg, pos, box, state.type_id, state.q,
+            state.bonds, state.angles, state.dihedrals, state.pairs14)
+        tot = jnp.asarray(0.0, pos.dtype)
+        for v in {**e_pair, **e_bond}.values():
+            tot = tot + v
+        return tot
+
+    w = -jax.grad(utotal)(jnp.asarray(1.0, state.pos.dtype))
+    ekin = observables.kinetic_energy(state.mass, state.vel, state.active)
+    vol = jnp.prod(state.box)
+    return (2.0 * ekin + w) / (3.0 * vol)
+
+
+def _barostat_step(spec: SimSpec, cfg: EngineConfig, state: MDState, key) -> MDState:
+    """Isotropic box scaling (ref: start_simulation.py:364-372).
+
+    'br' — Berendsen weak coupling: mu = (1 - dt/tau (P0 - P))^(1/3)
+    'lv' — Langevin piston on the log-volume velocity with friction gammaP
+           and thermal noise (espressopp LangevinBarostat behavior).
+    """
+    p_now = virial_pressure(spec, cfg, state)
+    dt = spec.dt
+    if cfg.barostat == "br":
+        mu = (1.0 - dt / spec.barostat_tau * (spec.pressure - p_now)) ** (1.0 / 3.0)
+        baro_v = state.baro_v
+    else:  # 'lv'
+        w = jnp.maximum(spec.barostat_mass, 1e-6)
+        vol = jnp.prod(state.box)
+        noise = jax.random.normal(key, ())
+        dv = (dt * 3.0 * vol * (p_now - spec.pressure) / w
+              - dt * spec.barostat_gammaP * state.baro_v
+              + jnp.sqrt(2.0 * spec.kT * spec.barostat_gammaP * dt / w) * noise)
+        baro_v = state.baro_v + dv
+        mu = jnp.exp(dt * baro_v)
+    mu = jnp.clip(mu, 0.98, 1.02)   # keep single-step strain sane
+    pos = jnp.where(state.active[:, None], state.pos * mu, state.pos)
+    return dataclasses.replace(state, pos=pos, box=state.box * mu,
+                               baro_v=baro_v)
+
+
 def maybe_rebuild_neighbors(spec: SimSpec, cfg: EngineConfig, state: MDState,
                             force: bool = False) -> MDState:
     """Rebuild the Verlet list if the skin criterion triggered (lax.cond)."""
@@ -137,4 +194,9 @@ def md_step(spec: SimSpec, cfg: EngineConfig, state: MDState) -> MDState:
     if cfg.thermostat in ("vr", "br", "iso"):
         key, sub = jax.random.split(state.key)
         state = _rescale_thermostat(spec, cfg, dataclasses.replace(state, key=key), sub)
+
+    if cfg.barostat != "no":
+        key, sub = jax.random.split(state.key)
+        state = _barostat_step(spec, cfg,
+                               dataclasses.replace(state, key=key), sub)
     return state

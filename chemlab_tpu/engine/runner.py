@@ -89,6 +89,9 @@ def measure(spec: SimSpec, cfg: EngineConfig, state: MDState):
     if cfg.n_groups:
         out["group_bonds"] = observables.group_bond_counts(state.bonds,
                                                            cfg.n_groups)
+    if cfg.barostat != "no":
+        out["P"] = integrate.virial_pressure(spec, cfg, state)
+        out["boxL"] = state.box[0]
     out["reaction_counts"] = state.reaction_counts
     out["n_bonds"] = jnp.sum(state.bonds.valid.astype(jnp.int32))
     out["n_angles"] = jnp.sum(state.angles.valid.astype(jnp.int32))

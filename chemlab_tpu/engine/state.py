@@ -144,6 +144,7 @@ class MDState:
 
     # box (mutable under barostats)
     box: jnp.ndarray        # (3,) float32
+    baro_v: jnp.ndarray     # () float32 — barostat log-volume velocity (lv)
 
     # reaction runtime parameters (mutable: rates via arrhenius, active flags)
     reactions_on: jnp.ndarray      # () bool — master switch (start_ar gate)

@@ -46,7 +46,10 @@ def preprocess(file_name: str, cwd: str | None = None, defines: dict | None = No
                 if os.path.dirname(name):
                     sub_cwd = os.path.join(cwd, os.path.dirname(name))
                     name = os.path.basename(name)
-                lines.extend(preprocess(name, sub_cwd, defines))
+                if os.path.exists(os.path.join(sub_cwd, name)):
+                    lines.extend(preprocess(name, sub_cwd, defines))
+                else:
+                    logger.warning("missing #include %s (skipped)", name)
             elif line.startswith("#define"):
                 t = line.split()
                 if len(t) > 2:
@@ -161,6 +164,9 @@ def _parse_nonbond_params(top: TopologyFile, fields: list[str]) -> None:
     key = tuple(sorted(fields[:2]))
     if key in top.nonbond_params:
         raise ValueError("duplicate nonbond_params entry for %s" % (key,))
+    if len(fields) < 3:
+        logger.warning("malformed [ nonbond_params ] entry %s (skipped)", fields)
+        return
     top.nonbond_params[key] = {"func": int(fields[2]), "params": list(fields[3:])}
 
 
