@@ -198,6 +198,15 @@ def _load_nb_table(name, nb_tb, table_dirs):
     return nb_tb.add(path, r, e, f)
 
 
+def _load_auto_nb_table(s1, s2, nb_tb, table_dirs):
+    """Auto filename table_T1_T2 — the reference stores pair keys sorted, so
+    published files may use either symbol order; try both."""
+    try:
+        return _load_nb_table("table_%s_%s" % (s1, s2), nb_tb, table_dirs)
+    except FileNotFoundError:
+        return _load_nb_table("table_%s_%s" % (s2, s1), nb_tb, table_dirs)
+
+
 def _build_pair_tables(systop: SystemTopology, opts: SimOptions, nb_tb, obs: ObsRegistry):
     """Lower [ nonbond_params ] + defaults into per-type-pair dispatch arrays
     (ref: gromacs_topology.py:463-899)."""
@@ -257,7 +266,7 @@ def _build_pair_tables(systop: SystemTopology, opts: SimOptions, nb_tb, obs: Obs
             param = systop.top.nonbond_params.get(tuple(sorted((s1, s2))))
             if param is None:
                 if s1 in tab_groups and s2 in tab_groups:
-                    tab = _load_nb_table("table_%s_%s" % (s1, s2), nb_tb, opts.table_dirs)
+                    tab = _load_auto_nb_table(s1, s2, nb_tb, opts.table_dirs)
                     set_pair(t1, t2, kind=PAIR_TAB, tab_a=tab, tab_b=tab,
                              cutoff2=tab_cut**2)
                 else:
@@ -277,8 +286,10 @@ def _build_pair_tables(systop: SystemTopology, opts: SimOptions, nb_tb, obs: Obs
                     set_pair(t1, t2, kind=PAIR_LJ, sig=sig, eps=eps,
                              cutoff2=lj_cut**2, shift=lj_shift(sig, eps, lj_cut))
             elif func == 8:
-                name = pp[0] if pp else "table_%s_%s" % (s1, s2)
-                tab = _load_nb_table(name, nb_tb, opts.table_dirs)
+                if pp:
+                    tab = _load_nb_table(pp[0], nb_tb, opts.table_dirs)
+                else:
+                    tab = _load_auto_nb_table(s1, s2, nb_tb, opts.table_dirs)
                 set_pair(t1, t2, kind=PAIR_TAB, tab_a=tab, tab_b=tab, cutoff2=tab_cut**2)
             elif func == 9:
                 # conversion-switched MultiTabulated (ref: :556-573,724-739)
@@ -298,9 +309,11 @@ def _build_pair_tables(systop: SystemTopology, opts: SimOptions, nb_tb, obs: Obs
                 set_pair(t1, t2, kind=PAIR_TAB, tab_a=ta, tab_b=tb_,
                          cutoff2=tab_cut**2, mix_mode=MIX_OBS, obs=o)
             elif func == 11:
-                name = pp[0] if pp else "table_%s_%s" % (s1, s2)
                 mf = float(pp[1]) if len(pp) > 1 else -1.0
-                tab = _load_nb_table(name, nb_tb, opts.table_dirs)
+                if pp:
+                    tab = _load_nb_table(pp[0], nb_tb, opts.table_dirs)
+                else:
+                    tab = _load_auto_nb_table(s1, s2, nb_tb, opts.table_dirs)
                 set_pair(t1, t2, kind=PAIR_TAB, tab_a=tab, tab_b=tab,
                          cutoff2=tab_cut**2, lam_scale=True, max_force=mf)
             elif func == 12:
@@ -438,13 +451,58 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
     angle_tb = tables.TableStackBuilder(opts.n_bins)
     dih_tb = tables.TableStackBuilder(opts.n_bins)
 
-    # ---- reactions first: they define dynamic types ----
+    # ---- reactions first: they define dynamic types (and may register a
+    #      dummy atom type for released molecules) ----
     compiled = None
     if reaction_config is not None:
         compiled = reaction_compile.compile_reactions(
             reaction_config, systop, bond_tb, opts.table_dirs, opts.output_prefix)
+        T = systop.next_type_id    # may have grown (dummy type)
     dynamic_types = compiled.dynamic_types if compiled else set()
     change_bond_types = compiled.observed_bondtypes if compiled else set()
+
+    # ---- ReleaseMolecule dummy particles (ref: reaction_post_process.py:230-260):
+    #      `replicate` dummies per host particle, constrained at eq_length ----
+    release = compiled.release if compiled else None
+    n_real = n
+    fix_pairs = np.zeros((0, 2), I32)
+    dummy = None
+    if release:
+        host_rows = np.where(systop.type_ids == release["host_type"])[0]
+        n_dummy = len(host_rows) * release["replicate"]
+        trec = systop.top.atomtypes.get(
+            systop.atomtype_atomsym[release["target_type"]], {})
+        dummy = {
+            "rows": np.arange(n, n + n_dummy),
+            "host_of": np.repeat(host_rows, release["replicate"]).astype(I32),
+            "type": release["dummy_type"],
+            "mass": float(trec.get("mass", 1.0)),
+            "state": int(trec.get("state", 0)),
+            "lam": release["init_res"],
+            "eq": release["eq_length"],
+        }
+        fix_pairs = np.stack([dummy["host_of"],
+                              dummy["rows"].astype(I32)], axis=1)
+        n = n + n_dummy
+        logger.info("generated %d dummy particles (type %d) on %d hosts",
+                    n_dummy, release["dummy_type"], len(host_rows))
+
+    # ---- RestrictReaction connectivity whitelist ----
+    restrict_rows = np.zeros((0, 2), np.int64)
+    if compiled and compiled.restrict_file:
+        pairs = set()
+        with open(files_io.resolve_table(compiled.restrict_file, opts.table_dirs)) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 2:
+                    a, b = int(parts[0]) - 1, int(parts[1]) - 1
+                    pairs.add((min(a, b), max(a, b)))
+        restrict_rows = np.asarray(sorted(pairs), np.int64)
+        # whitelisted partners are also excluded from nonbonded interactions
+        # (ref: reaction_setup.py:125)
+        for a, b in pairs:
+            systop.exclusions.add((a + 1, b + 1))
+        logger.info("restricted reactions to %d connections", len(pairs))
 
     # extra conversion observables requested by the caller (stop criteria)
     extra_obs_idx = [obs.register(ts, total) for ts, total in extra_conversions]
@@ -611,29 +669,39 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
     # ---- per-particle arrays ----
     dtype = np.float32 if opts.dtype == "float32" else np.float64
     pos = np.zeros((n_pad, 3), dtype)
-    pos[:n] = np.mod(coords.pos, coords.box)
+    pos[:n_real] = np.mod(coords.pos, coords.box)
     vel = np.zeros((n_pad, 3), dtype)
     if coords.vel is not None:
-        vel[:n] = coords.vel
+        vel[:n_real] = coords.vel
     type_id = np.full(n_pad, 0, I32)
-    type_id[:n] = systop.type_ids
+    type_id[:n_real] = systop.type_ids
     mass = np.ones(n_pad, dtype)
-    mass[:n] = systop.masses
+    mass[:n_real] = systop.masses
     q = np.zeros(n_pad, dtype)
-    q[:n] = systop.charges
+    q[:n_real] = systop.charges
     chem_state = np.zeros(n_pad, I32)
-    chem_state[:n] = systop.states
+    chem_state[:n_real] = systop.states
     res_id = np.zeros(n_pad, I32)
-    res_id[:n] = coords.res_idx
+    res_id[:n_real] = coords.res_idx
     lam = np.ones(n_pad, dtype)
     active = np.zeros(n_pad, bool)
     active[:n] = True
 
+    if dummy is not None:
+        rows = dummy["rows"]
+        pos[rows] = np.mod(pos[dummy["host_of"]]
+                           + np.asarray([dummy["eq"], 0.0, 0.0], dtype), box)
+        type_id[rows] = dummy["type"]
+        mass[rows] = dummy["mass"]
+        chem_state[rows] = dummy["state"]
+        res_id[rows] = rows + 1     # own residue per dummy (ref behavior)
+        lam[rows] = dummy["lam"]
+
     if opts.gen_velocity and coords.vel is None:
         rng = np.random.RandomState(opts.rng_seed)
-        v = rng.normal(size=(n, 3)) * np.sqrt(opts.kT / systop.masses)[:, None]
+        v = rng.normal(size=(n_real, 3)) * np.sqrt(opts.kT / systop.masses)[:, None]
         v -= np.average(v, axis=0, weights=systop.masses)
-        vel[:n] = v
+        vel[:n_real] = v
 
     # ---- stacks ----
     nb_stack = nb_tb.build()
@@ -647,6 +715,10 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
         thermal_mask[:] = False
         for s in opts.thermal_groups:
             thermal_mask[systop.atomsym_atomtype[s]] = True
+    if release:
+        # dummy particles must not be thermostatted
+        # (ref: reaction_post_process.py:313-314)
+        thermal_mask[release["dummy_type"]] = False
 
     fudge_qq = opts.fudge_qq if opts.fudge_qq is not None else systop.defaults.get("fudgeQQ", 1.0)
     from ..units import COULOMB_PREFACTOR
@@ -665,7 +737,8 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
             ("r_intramolecular", bool), ("r_intraresidual", bool), ("r_virtual", bool),
             ("r_is_diss", bool), ("r_diss_rate", F32), ("r_group", I32),
             ("r_new_type1", I32), ("r_new_type2", I32), ("r_cnb_type", I32),
-            ("r_cnb_min", I32), ("r_cnb_max", I32)]}
+            ("r_cnb_min", I32), ("r_cnb_max", I32), ("r_release_n", I32),
+            ("r_release_side", I32), ("r_restricted", bool)]}
     if compiled and compiled.ppnb:
         pp_arrays = {k: jnp.asarray(v) for k, v in compiled.ppnb.items()}
         n_pp = len(compiled.ppnb["ppnb_reaction"])
@@ -700,6 +773,7 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
             atrp_delta_catalyst=jnp.asarray(0.0, F32))
 
     obs_e_obs, obs_e_type, obs_e_state, obs_totals = obs.arrays()
+    rb_rows_ = compiled.rb_rows if compiled else []
 
     # funcs present (static + type tables + groups)
     bond_funcs = sorted(set(b_func) | set(bond_func_tt.flatten()) |
@@ -748,6 +822,13 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
         atrp_num=atrp["num_particles"] if atrp else 0,
         has_dissociation=bool(compiled and compiled.n_reactions
                               and any(c for c in compiled.channels["r_is_diss"])),
+        has_fixd=fix_pairs.shape[0] > 0,
+        fixd_cap=max(_round_up(fix_pairs.shape[0], 128), 1),
+        has_dyn_resolution=bool(compiled and compiled.dyn_resolution),
+        n_rb=len(compiled.rb_rows) if compiled else 0,
+        has_cpt=bool(compiled and compiled.cpt),
+        cpt_interval=compiled.cpt["interval"] if compiled and compiled.cpt else 0,
+        cpt_num=compiled.cpt["num"] if compiled and compiled.cpt else 0,
     )
 
     if mix_entries:
@@ -808,6 +889,32 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
         **atrp_arrays,
         hybrid_bond_rate=jnp.asarray(
             1.0 / opts.t_hybrid_bond if opts.t_hybrid_bond > 0 else 0.0, F32),
+        dr_alpha=jnp.asarray(
+            [compiled.dyn_resolution.get(t, (0.0, -1))[0] if compiled else 0.0
+             for t in range(T)], F32),
+        dr_final_type=jnp.asarray(
+            [compiled.dyn_resolution.get(t, (0.0, -1))[1] if compiled else -1
+             for t in range(T)], I32),
+        fd_eq=jnp.asarray(release["eq_length"] if release else 0.0, F32),
+        fd_host_type=jnp.asarray(
+            release["host_type"] if release and release["release_on"] == "type"
+            else -1, I32),
+        fd_dummy_type=jnp.asarray(release["dummy_type"] if release else -1, I32),
+        fd_target_type=jnp.asarray(release["target_type"] if release else -1, I32),
+        restrict_pairs=jnp.asarray(
+            restrict_rows[:, 0].astype(np.int64) * n_pad
+            + restrict_rows[:, 1].astype(np.int64)
+            if restrict_rows.size else np.zeros(0, np.int64)),
+        rb_reaction=jnp.asarray([e["reaction"] for e in rb_rows_], I32),
+        rb_side=jnp.asarray([e["side"] for e in rb_rows_], I32),
+        rb_anchor_type=jnp.asarray([e["anchor_type"] for e in rb_rows_], I32),
+        rb_level=jnp.asarray([e["level"] for e in rb_rows_], I32),
+        rb_t1=jnp.asarray([e["t1"] for e in rb_rows_], I32),
+        rb_t2=jnp.asarray([e["t2"] for e in rb_rows_], I32),
+        cpt_old=jnp.asarray(compiled.cpt["old"] if compiled and compiled.cpt
+                            else -1, I32),
+        cpt_new=jnp.asarray(compiled.cpt["new"] if compiled and compiled.cpt
+                            else -1, I32),
     )
 
     state = MDState(
@@ -820,6 +927,14 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
         chem_state=jnp.asarray(chem_state), res_id=jnp.asarray(res_id),
         mol_id=jnp.asarray(mol_id), lam=jnp.asarray(lam), active=jnp.asarray(active),
         bonds=bonds, angles=angles, dihedrals=dihedrals, pairs14=pairs14,
+        fixd_host=jnp.asarray(np.pad(fix_pairs[:, 0] if fix_pairs.size else
+                                     np.zeros(0, I32),
+                                     (0, cfg.fixd_cap - fix_pairs.shape[0]),
+                                     constant_values=-1).astype(I32)),
+        fixd_dummy=jnp.asarray(np.pad(fix_pairs[:, 1] if fix_pairs.size else
+                                      np.zeros(0, I32),
+                                      (0, cfg.fixd_cap - fix_pairs.shape[0]),
+                                      constant_values=-1).astype(I32)),
         excl=jnp.asarray(excl), n_excl=jnp.asarray(n_excl, I32),
         adj=jnp.asarray(adj),
         nbr=neighbor.build_neighbor_state(

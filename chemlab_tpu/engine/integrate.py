@@ -164,6 +164,64 @@ def maybe_rebuild_neighbors(spec: SimSpec, cfg: EngineConfig, state: MDState,
     return jax.lax.cond(trigger, rebuild, lambda st: st, state)
 
 
+def _fix_distances(spec: SimSpec, cfg: EngineConfig, state: MDState) -> MDState:
+    """FixDistances constraint projection + auto-release
+    (ref: reaction_post_process.py:269-289; espressopp integrator.FixDistances).
+
+    Each (host, dummy) row pins the dummy at fd_eq from its host (position
+    reset along the current separation, velocity copied from the host).  When
+    fd_host_type >= 0, a constraint whose host no longer has that type is
+    released: the dummy becomes fd_target_type at lambda 0 and starts the
+    BasicDynamicResolution fade-in.
+    """
+    h = state.fixd_host
+    d = state.fixd_dummy
+    valid = (h >= 0) & (d >= 0)
+    hc = jnp.maximum(h, 0)
+    dc = jnp.maximum(d, 0)
+
+    # release on host type change
+    release = valid & (spec.fd_host_type >= 0) \
+        & (state.type_id[hc] != spec.fd_host_type)
+    n = state.pos.shape[0]
+    dsel = jnp.where(release, dc, n)
+    type_id = state.type_id.at[dsel].set(spec.fd_target_type, mode="drop")
+    lam = state.lam.at[dsel].set(0.0, mode="drop")
+    h = jnp.where(release, -1, h)
+    d = jnp.where(release, -1, d)
+    valid &= ~release
+
+    # constraint projection for remaining rows
+    dr = state.pos[dc] - state.pos[hc]
+    dr -= state.box * jnp.round(dr / state.box)
+    norm = jnp.sqrt(jnp.sum(dr * dr, -1, keepdims=True))
+    unit = jnp.where(norm > 1e-9, dr / jnp.maximum(norm, 1e-9),
+                     jnp.asarray([[1.0, 0.0, 0.0]], dr.dtype))
+    target = state.pos[hc] + spec.fd_eq * unit
+    target -= state.box * jnp.floor(target / state.box)
+    pos = state.pos.at[jnp.where(valid, dc, n)].set(target, mode="drop")
+    vel = state.vel.at[jnp.where(valid, dc, n)].set(state.vel[hc], mode="drop")
+    return dataclasses.replace(state, pos=pos, vel=vel, type_id=type_id,
+                               lam=lam, fixd_host=h, fixd_dummy=d)
+
+
+def _dynamic_resolution(spec: SimSpec, state: MDState) -> MDState:
+    """BasicDynamicResolution: lambda += alpha(type) per step; at lambda >= 1
+    fire the final property change (ref: reaction_post_process.py:291-310)."""
+    alpha = spec.dr_alpha[state.type_id]
+    lam = jnp.where(state.active & (alpha > 0.0),
+                    jnp.minimum(state.lam + alpha, 1.0), state.lam)
+    final = spec.dr_final_type[state.type_id]
+    fire = state.active & (alpha > 0.0) & (lam >= 1.0) & (final >= 0)
+    fc = jnp.maximum(final, 0)
+    type_id = jnp.where(fire, fc, state.type_id)
+    mass = jnp.where(fire, spec.type_mass[fc], state.mass)
+    q = jnp.where(fire, spec.type_q[fc], state.q)
+    chem = jnp.where(fire, spec.type_state[fc], state.chem_state)
+    return dataclasses.replace(state, lam=lam, type_id=type_id, mass=mass,
+                               q=q, chem_state=chem)
+
+
 def md_step(spec: SimSpec, cfg: EngineConfig, state: MDState) -> MDState:
     """One velocity-Verlet step (ref hot loop, SURVEY.md §3.2)."""
     dt = spec.dt
@@ -178,6 +236,11 @@ def md_step(spec: SimSpec, cfg: EngineConfig, state: MDState) -> MDState:
     pos = pos - shift.astype(pos.dtype) * state.box
     state = dataclasses.replace(state, pos=pos, vel=vel,
                                 image=state.image + shift)
+
+    if cfg.has_fixd:
+        state = _fix_distances(spec, cfg, state)
+    if cfg.has_dyn_resolution:
+        state = _dynamic_resolution(spec, state)
 
     state = maybe_rebuild_neighbors(spec, cfg, state)
 

@@ -55,6 +55,12 @@ class CompiledReactions:
     ppnb: dict                # name -> (PB,) arrays, the ppnb_* fields
     max_nb_level: int
     atrp: dict | None         # scalar/entry arrays for ATRPActivator
+    release: dict | None      # ReleaseMolecule descriptor (dummy particles)
+    restrict_file: str | None # RestrictReaction connectivity map path
+    restricted_reactions: list  # channel ids with connectivity whitelist
+    dyn_resolution: dict      # type_id -> (alpha, final_type_id)
+    rb_rows: list             # RemoveNeighboursBonds entries
+    cpt: dict | None          # ChangeParticleType descriptor
     dynamic_types: set        # type ids that change during the run
     observed_bondtypes: set
     interval: int
@@ -112,6 +118,12 @@ def compile_reactions(config: dict, systop: SystemTopology, bond_table_builder,
     observed_bondtypes: set = set()
     reaction_index: dict = {}
     atrp = None
+    release = None
+    restrict_file = None
+    restricted_reactions: list = []
+    dyn_resolution: dict = {}
+    rb_rows: list = []
+    cpt = None
     use_thermal_group = False
 
     def type_change(reactant) -> tuple:
@@ -188,13 +200,51 @@ def compile_reactions(config: dict, systop: SystemTopology, bond_table_builder,
             "stats_file": options.get("stats_file", "%s_atrp_stats.dat" % output_prefix),
         }
 
+    def lower_release(options):
+        """ReleaseMolecule (ref: reaction_post_process.py:203-320): dummy
+        particles held at eq_length from each host, released on host type
+        change or on reaction, lambda fade-in to final_type."""
+        nonlocal release, use_thermal_group
+        if release is not None:
+            raise NotImplementedError("only one ReleaseMolecule block supported")
+        host_type = options["host_type"]
+        target_type = options["target_type"]
+        dummy_tid = systop.add_new_atomtype("DUMMY_%d" % systop.next_type_id)
+        target_tid = name2type[target_type]
+        release_on = options.get("release_on", "type")
+        if release_on not in ("bond", "type"):
+            raise ValueError("release_on must be bond or type")
+        final_type = options.get("final_type", target_type)
+        release = {
+            "host_type": name2type[host_type],
+            "target_type": target_tid,
+            "dummy_type": dummy_tid,
+            "final_type": name2type[final_type],
+            "eq_length": float(options["eq_length"]),
+            "alpha": float(options["alpha"]),
+            "init_res": float(options["init_res"]),
+            "replicate": int(options.get("replicate", 1)),
+            "release_on": release_on,
+            "release_count": int(options.get("release_count", 1)),
+            "release_host": options.get("invoke_on",
+                                        options.get("release_host", "both")),
+        }
+        dyn_resolution[target_tid] = (release["alpha"],
+                                      release["final_type"]
+                                      if release["final_type"] != target_tid else -1)
+        dynamic_types.update((release["host_type"], target_tid, dummy_tid,
+                              release["final_type"]))
+        use_thermal_group = True
+        return release
+
     for group_name, group in config["reactions"].items():
         gid = len(groups)
         func, gparams = _pack_group_potential(group, bond_table_builder, table_dirs)
         groups.append((group_name, func, gparams))
 
-        if group.get("connectivity_map"):
-            raise NotImplementedError("RestrictReaction connectivity maps not supported yet")
+        group_restricted = bool(group.get("connectivity_map"))
+        if group_restricted:
+            restrict_file = group["connectivity_map"]
 
         # extensions: split into per-reaction post-processes and integrator exts
         group_pp = []  # (ext_name, kind, payload)
@@ -204,8 +254,31 @@ def compile_reactions(config: dict, systop: SystemTopology, bond_table_builder,
                 group_pp.append((ext_name, "ppnb", ext["options"]))
             elif cls == "ATRPActivator":
                 lower_atrp(ext["options"])
-            elif cls in ("RemoveNeighboursBonds", "ReleaseMolecule", "JoinMolecule",
-                         "FreezeRegion", "ChangeParticleType"):
+            elif cls == "ReleaseMolecule":
+                rel = lower_release(ext["options"])
+                if rel["release_on"] == "bond":
+                    group_pp.append((ext_name, "release", rel))
+            elif cls == "RemoveNeighboursBonds":
+                # bonds_to_remove=anchor->t1:t2:level,... (ref: :117-137)
+                entries = []
+                for item in ext["options"]["bonds_to_remove"].split(","):
+                    anchor, rest = item.split("->")
+                    t1n, t2n, level = rest.split(":")
+                    tp = (name2type[t1n.strip()], name2type[t2n.strip()])
+                    observed_bondtypes.add(tuple(sorted(tp)))
+                    entries.append({
+                        "anchor_type": name2type[anchor.strip()],
+                        "level": int(level), "t1": tp[0], "t2": tp[1],
+                        "side": {"type_1": 0, "type_2": 1, "both": 2}[
+                            ext["options"].get("invoke_on", "both")],
+                    })
+                group_pp.append((ext_name, "rb", entries))
+            elif cls == "ChangeParticleType":
+                o = ext["options"]
+                cpt = {"interval": int(o["interval"]),
+                       "num": int(o["num_particles"]),
+                       "old": int(o["type_id"]), "new": int(o["new_type_id"])}
+            elif cls in ("JoinMolecule", "FreezeRegion"):
                 logger.warning("extension %s (%s) not lowered yet — ignored", ext_name, cls)
             else:
                 raise ValueError("unknown extension class %s" % cls)
@@ -240,14 +313,21 @@ def compile_reactions(config: dict, systop: SystemTopology, bond_table_builder,
                 "new_type1": type_change(t1),
                 "new_type2": type_change(t2),
                 "cnb_type": -1, "cnb_min": 0, "cnb_max": 0,
+                "release_n": 0, "release_side": 2,
+                "restricted": group_restricted,
             }
+            if group_restricted:
+                restricted_reactions.append(ridx)
             dynamic_types.add(row["t1"])
             dynamic_types.add(row["t2"])
             if is_diss:
                 observed_bondtypes.add(tuple(sorted((row["t1"], row["t2"]))))
-                if "alpha" in chem:
-                    logger.warning("dissociation lambda ramp (alpha=%s) applied as "
-                                   "an instant type switch for now", chem["alpha"])
+                if "alpha" in chem and chem["alpha"]:
+                    # products fade in via BasicDynamicResolution
+                    for nt, base in ((row["new_type1"], row["t1"]),
+                                     (row["new_type2"], row["t2"])):
+                        dyn_resolution.setdefault(nt if nt >= 0 else base,
+                                                  (float(chem["alpha"]), -1))
             if is_exch:
                 c = rl["type_2"]
                 row["cnb_type"] = name2type[c["name"]]
@@ -275,6 +355,13 @@ def compile_reactions(config: dict, systop: SystemTopology, bond_table_builder,
                     continue
                 if kind == "ppnb":
                     lower_ppnb(ridx, payload, payload.get("invoke_on"))
+                elif kind == "release":
+                    row["release_n"] = payload["release_count"]
+                    row["release_side"] = {"type_1": 0, "type_2": 1,
+                                           "both": 2}[payload["release_host"]]
+                elif kind == "rb":
+                    for e in payload:
+                        rb_rows.append({"reaction": ridx, **e})
 
     r = len(channels)
 
@@ -299,6 +386,9 @@ def compile_reactions(config: dict, systop: SystemTopology, bond_table_builder,
         "r_cnb_type": col("cnb_type", np.int32),
         "r_cnb_min": col("cnb_min", np.int32),
         "r_cnb_max": col("cnb_max", np.int32),
+        "r_release_n": col("release_n", np.int32),
+        "r_release_side": col("release_side", np.int32),
+        "r_restricted": col("restricted", bool),
     } if r else {}
 
     pb = len(ppnb_rows)
@@ -325,6 +415,12 @@ def compile_reactions(config: dict, systop: SystemTopology, bond_table_builder,
         ppnb=ppnb_arrays,
         max_nb_level=max([p["level"] for p in ppnb_rows], default=0),
         atrp=atrp,
+        release=release,
+        restrict_file=restrict_file,
+        restricted_reactions=restricted_reactions,
+        dyn_resolution=dyn_resolution,
+        rb_rows=rb_rows,
+        cpt=cpt,
         dynamic_types=dynamic_types,
         observed_bondtypes=observed_bondtypes,
         interval=general["interval"],

@@ -113,6 +113,15 @@ def _channel_accept(spec: SimSpec, cfg: EngineConfig, state: MDState, seed,
     # no existing bond between the pair
     m &= ~jnp.any(state.adj[a] == b[..., None], axis=-1)
 
+    # RestrictReaction connectivity whitelist (ref: reaction_setup.py:115-128)
+    if spec.restrict_pairs.shape[0]:
+        n_pad = state.pos.shape[0]
+        code = lo.astype(jnp.int64) * n_pad + hi.astype(jnp.int64)
+        pos_ = jnp.searchsorted(spec.restrict_pairs, code)
+        pos_c = jnp.minimum(pos_, spec.restrict_pairs.shape[0] - 1)
+        listed = spec.restrict_pairs[pos_c] == code
+        m &= listed | ~spec.r_restricted[r]
+
     # bonded-neighbour state constraint on the type_1 side (exchange)
     cnb = spec.r_cnb_type[r]
     nbr_t = state.type_id[jnp.maximum(state.adj[a], 0)]
@@ -352,6 +361,60 @@ def apply_reaction_events(spec: SimSpec, cfg: EngineConfig, state: MDState,
         return dataclasses.replace(st, type_id=tid, chem_state=chem,
                                    mass=mass, q=q)
 
+    def _release_constraints(st, p, count, enable):
+        """PostProcessReleaseParticles: free up to `count` dummies of host p
+        (ref: reaction_post_process.py:274-289)."""
+        mask = enable & (st.fixd_host == p) & (st.fixd_host >= 0)
+        rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+        rel = mask & (rank < count)
+        n = st.pos.shape[0]
+        dsel = jnp.where(rel, jnp.maximum(st.fixd_dummy, 0), n)
+        type_id = st.type_id.at[dsel].set(spec.fd_target_type, mode="drop")
+        lam = st.lam.at[dsel].set(0.0, mode="drop")
+        return dataclasses.replace(
+            st, type_id=type_id, lam=lam,
+            fixd_host=jnp.where(rel, -1, st.fixd_host),
+            fixd_dummy=jnp.where(rel, -1, st.fixd_dummy))
+
+    def _remove_neighbour_bonds(st, valid, anchor, r, s_code):
+        """PostProcessRemoveNeighbourBond: break (t1,t2) bonds whose closer
+        endpoint is nb_level hops from the anchor
+        (ref: reaction_post_process.py:117-137)."""
+        dist = topo.bfs_distances(st.adj, jnp.where(valid, anchor, -1),
+                                  cfg.max_nb_level + 1)
+        bi = jnp.maximum(st.bonds.idx[:, 0], 0)
+        bj = jnp.maximum(st.bonds.idx[:, 1], 0)
+        ti = st.type_id[bi]
+        tj = st.type_id[bj]
+        hit = jnp.zeros(st.bonds.capacity, bool)
+        anchor_t = st.type_id[jnp.maximum(anchor, 0)]
+        for p in range(cfg.n_rb):
+            owner = valid & (spec.rb_reaction[p] == r) \
+                & (anchor_t == spec.rb_anchor_type[p]) \
+                & ((spec.rb_side[p] == s_code) | (spec.rb_side[p] == 2))
+            tmatch = ((ti == spec.rb_t1[p]) & (tj == spec.rb_t2[p])) | \
+                     ((ti == spec.rb_t2[p]) & (tj == spec.rb_t1[p]))
+            dmin = jnp.minimum(dist[bi], dist[bj])
+            hit |= owner & st.bonds.valid & tmatch & (dmin == spec.rb_level[p])
+        edges = jnp.where(hit[:, None], st.bonds.idx, -1)
+        # invalidate the bonds and their dependent angles/dihedrals
+        new_bonds = dataclasses.replace(
+            st.bonds, idx=jnp.where(hit[:, None], -1, st.bonds.idx))
+        angles, hit_a = topo.invalidate_terms_with_edges(st.angles, edges, hit)
+        dihedrals, hit_d = topo.invalidate_terms_with_edges(st.dihedrals,
+                                                            edges, hit)
+        excl = topo.excl_remove(st.excl, edges, hit)
+        excl = topo.excl_remove(excl, st.angles.idx[:, (0, 2)], hit_a)
+        if st.dihedrals.capacity > 1:
+            excl = topo.excl_remove(excl, st.dihedrals.idx[:, (0, 3)], hit_d)
+        adj = st.adj
+
+        def rm(k, adj):
+            return topo.adj_remove_edge(adj, edges[k, 0], edges[k, 1], hit[k])
+        adj = jax.lax.fori_loop(0, edges.shape[0], rm, adj)
+        return dataclasses.replace(st, bonds=new_bonds, angles=angles,
+                                   dihedrals=dihedrals, excl=excl, adj=adj)
+
     def body(carry, ev):
         st, overflow = carry
         valid, a, b, r = ev
@@ -372,6 +435,17 @@ def apply_reaction_events(spec: SimSpec, cfg: EngineConfig, state: MDState,
         st = dataclasses.replace(st, bonds=bonds, adj=adj, mol_id=mol)
         if cfg.max_ppnb > 0:
             st = _apply_ppnb(st, valid, a, b, r)
+        if cfg.has_fixd:
+            rn = spec.r_release_n[jnp.maximum(r, 0)]
+            side = spec.r_release_side[jnp.maximum(r, 0)]
+            st = _release_constraints(st, a, rn,
+                                      valid & (rn > 0) & (side != 1))
+            st = _release_constraints(st, b, rn,
+                                      valid & (rn > 0) & (side != 0))
+        if cfg.n_rb > 0:
+            rr0 = jnp.maximum(r, 0)
+            for s_code, anchor in ((0, a), (1, b)):
+                st = _remove_neighbour_bonds(st, valid, anchor, rr0, s_code)
         st, ov3 = _generate_terms_for_bond(spec, st, a, b, make_bond,
                                            cfg.exclude_new_bonds)
         return (st, overflow | ov1 | ov2 | ov3), None
@@ -511,6 +585,26 @@ def atrp_step(spec: SimSpec, cfg: EngineConfig, state: MDState):
     return dataclasses.replace(state, key=key, type_id=tid, chem_state=chem,
                                mass=mass, q=q, atrp_ratios=ratios,
                                atrp_stats=stats)
+
+
+# ---------------------------------------------------------------------------
+# ChangeParticleType extension (ref: reaction_post_process.py:364-378)
+# ---------------------------------------------------------------------------
+
+def change_particle_type_step(spec: SimSpec, cfg: EngineConfig,
+                              state: MDState) -> MDState:
+    """Random type flips: up to cpt_num particles of cpt_old -> cpt_new."""
+    key, sub = jax.random.split(state.key)
+    n = state.pos.shape[0]
+    match = state.active & (state.type_id == spec.cpt_old)
+    score = jnp.where(match, jax.random.uniform(sub, (n,)), 2.0)
+    order = jnp.argsort(score)[: cfg.cpt_num]
+    sel = jnp.where(match[order], order, n)
+    nt = jnp.maximum(spec.cpt_new, 0)
+    type_id = state.type_id.at[sel].set(nt, mode="drop")
+    mass = state.mass.at[sel].set(spec.type_mass[nt], mode="drop")
+    q = state.q.at[sel].set(spec.type_q[nt], mode="drop")
+    return dataclasses.replace(state, key=key, type_id=type_id, mass=mass, q=q)
 
 
 # ---------------------------------------------------------------------------

@@ -91,6 +91,13 @@ class EngineConfig:
     atrp_interval: int
     atrp_num: int             # particles sampled per ATRP invocation
     has_dissociation: bool
+    has_fixd: bool            # FixDistances constraints present
+    fixd_cap: int             # constraint table capacity
+    has_dyn_resolution: bool  # any per-type lambda ramp active
+    n_rb: int                 # RemoveNeighboursBonds entry count
+    has_cpt: bool             # ChangeParticleType extension active
+    cpt_interval: int
+    cpt_num: int
 
 
 @_dataclass
@@ -226,3 +233,33 @@ class SimSpec:
     # -- hybrid-bond lambda ramp (FixedListDynamicResolution;
     #    ref: start_simulation.py:289-293); 0 disables --
     hybrid_bond_rate: jnp.ndarray
+
+    # -- BasicDynamicResolution: per-type per-step lambda increment, and the
+    #    property change fired at lambda >= 1 (ref: reaction_post_process.py:291-310) --
+    dr_alpha: jnp.ndarray         # (T,) float32, 0 = off
+    dr_final_type: jnp.ndarray    # (T,) int32, -1 = keep type
+
+    # -- FixDistances / ReleaseMolecule (ref: reaction_post_process.py:203-320) --
+    fd_eq: jnp.ndarray            # () float32 constraint length
+    fd_host_type: jnp.ndarray     # () int32; >=0 -> release on host type change
+    fd_dummy_type: jnp.ndarray    # () int32 dummy particle type
+    fd_target_type: jnp.ndarray   # () int32 type set on release (lambda=0)
+    r_release_n: jnp.ndarray      # (R,) int32 constraints released per event side
+    r_release_side: jnp.ndarray   # (R,) int32 SIDE_*
+
+    # -- RestrictReaction connectivity whitelist (ref: reaction_setup.py:115-128):
+    #    sorted encoded pairs lo * n_pad + hi; empty = no restriction --
+    restrict_pairs: jnp.ndarray   # (M,) int64 sorted
+    r_restricted: jnp.ndarray     # (R,) bool
+
+    # -- RemoveNeighboursBonds rows (ref: reaction_post_process.py:117-137) --
+    rb_reaction: jnp.ndarray      # (RB,) owning channel
+    rb_side: jnp.ndarray          # (RB,) SIDE_*
+    rb_anchor_type: jnp.ndarray   # (RB,) required type of the reacting anchor
+    rb_level: jnp.ndarray         # (RB,) topological distance of the bond
+    rb_t1: jnp.ndarray            # (RB,)
+    rb_t2: jnp.ndarray            # (RB,)
+
+    # -- ChangeParticleType extension (ref: reaction_post_process.py:364-378) --
+    cpt_old: jnp.ndarray          # () int32
+    cpt_new: jnp.ndarray          # () int32

@@ -139,6 +139,10 @@ class MDState:
     n_excl: jnp.ndarray     # () int32
     adj: jnp.ndarray        # (N, DEG) int32 bonded adjacency, -1 padded
 
+    # FixDistances constraint table (host, dummy) rows, -1 padded
+    fixd_host: jnp.ndarray  # (F,) int32
+    fixd_dummy: jnp.ndarray # (F,) int32
+
     # neighbor cache
     nbr: NeighborState
 

@@ -275,7 +275,7 @@ def main(argv=None):
             if kk in m:
                 row[kk] = float(m[kk])
         conv = np.asarray(m["conversions"])
-        for oi in range(conv.shape[0]):
+        for oi in range(len(built.obs.keys)):
             row[built.obs.label(oi)] = conv[oi]
         if cfg.n_groups:
             for gi, c in enumerate(np.asarray(m["group_bonds"])):
