@@ -21,6 +21,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -491,7 +492,13 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
     restrict_rows = np.zeros((0, 2), np.int64)
     if compiled and compiled.restrict_file:
         pairs = set()
-        with open(files_io.resolve_table(compiled.restrict_file, opts.table_dirs)) as f:
+        rf = compiled.restrict_file
+        if not os.path.exists(rf):
+            for d in opts.table_dirs:
+                if os.path.exists(os.path.join(d, rf)):
+                    rf = os.path.join(d, rf)
+                    break
+        with open(rf) as f:
             for line in f:
                 parts = line.split()
                 if len(parts) >= 2:

@@ -157,9 +157,14 @@ def main(argv=None):
                                    generate_excl=args.exclusion_list is None)
     if args.exclusion_list:
         excl = set()
-        with open(args.exclusion_list) as f:
+        excl_path = args.exclusion_list
+        if not os.path.exists(excl_path):
+            alt = os.path.join(table_dirs[0], excl_path)
+            if os.path.exists(alt):
+                excl_path = alt
+        with open(excl_path) as f:
             for line in f:
-                parts = line.split()
+                parts = line.replace(",", " ").split()
                 if len(parts) >= 2:
                     a, b = int(parts[0]), int(parts[1])
                     excl.add((min(a, b), max(a, b)))
