@@ -465,6 +465,26 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
     # ---- ReleaseMolecule dummy particles (ref: reaction_post_process.py:230-260):
     #      `replicate` dummies per host particle, constrained at eq_length ----
     release = compiled.release if compiled else None
+    join_d = compiled.join if compiled else None
+    freeze_d = compiled.freeze if compiled else None
+    fd_defs = []
+    if release:
+        fd_defs.append({
+            "eq": release["eq_length"],
+            "host_type": (release["host_type"]
+                          if release["release_on"] == "type" else -1),
+            "dummy_type": release["dummy_type"],
+            "target_type": release["target_type"],
+            "release_lam": 0.0,
+        })
+    if join_d:
+        fd_defs.append({
+            "eq": join_d["eq_length"],
+            "host_type": join_d["host_type"],
+            "dummy_type": join_d["dummy_type"],
+            "target_type": join_d["target_type"],
+            "release_lam": join_d["init_res"],
+        })
     n_real = n
     fix_pairs = np.zeros((0, 2), I32)
     dummy = None
@@ -726,6 +746,10 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
         # dummy particles must not be thermostatted
         # (ref: reaction_post_process.py:313-314)
         thermal_mask[release["dummy_type"]] = False
+    if join_d:
+        thermal_mask[join_d["dummy_type"]] = False
+    if freeze_d:
+        thermal_mask[freeze_d["final_type"]] = False
 
     fudge_qq = opts.fudge_qq if opts.fudge_qq is not None else systop.defaults.get("fudgeQQ", 1.0)
     from ..units import COULOMB_PREFACTOR
@@ -745,7 +769,7 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
             ("r_is_diss", bool), ("r_diss_rate", F32), ("r_group", I32),
             ("r_new_type1", I32), ("r_new_type2", I32), ("r_cnb_type", I32),
             ("r_cnb_min", I32), ("r_cnb_max", I32), ("r_release_n", I32),
-            ("r_release_side", I32), ("r_restricted", bool)]}
+            ("r_release_side", I32), ("r_restricted", bool), ("r_join", bool)]}
     if compiled and compiled.ppnb:
         pp_arrays = {k: jnp.asarray(v) for k, v in compiled.ppnb.items()}
         n_pp = len(compiled.ppnb["ppnb_reaction"])
@@ -829,13 +853,19 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
         atrp_num=atrp["num_particles"] if atrp else 0,
         has_dissociation=bool(compiled and compiled.n_reactions
                               and any(c for c in compiled.channels["r_is_diss"])),
-        has_fixd=fix_pairs.shape[0] > 0,
-        fixd_cap=max(_round_up(fix_pairs.shape[0], 128), 1),
+        has_fixd=bool(fix_pairs.shape[0] > 0 or join_d),
+        fixd_cap=max(_round_up(
+            fix_pairs.shape[0]
+            + (int(np.sum(systop.type_ids == join_d["target_type"]))
+               + int(np.sum(systop.type_ids == join_d["final_type"]))
+               if join_d else 0), 128), 1),
+        n_fd=max(len(fd_defs), 1),
         has_dyn_resolution=bool(compiled and compiled.dyn_resolution),
         n_rb=len(compiled.rb_rows) if compiled else 0,
         has_cpt=bool(compiled and compiled.cpt),
         cpt_interval=compiled.cpt["interval"] if compiled and compiled.cpt else 0,
         cpt_num=compiled.cpt["num"] if compiled and compiled.cpt else 0,
+        has_freeze=bool(compiled and compiled.freeze),
     )
 
     if mix_entries:
@@ -902,12 +932,14 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
         dr_final_type=jnp.asarray(
             [compiled.dyn_resolution.get(t, (0.0, -1))[1] if compiled else -1
              for t in range(T)], I32),
-        fd_eq=jnp.asarray(release["eq_length"] if release else 0.0, F32),
-        fd_host_type=jnp.asarray(
-            release["host_type"] if release and release["release_on"] == "type"
-            else -1, I32),
-        fd_dummy_type=jnp.asarray(release["dummy_type"] if release else -1, I32),
-        fd_target_type=jnp.asarray(release["target_type"] if release else -1, I32),
+        fd_eq=jnp.asarray([d["eq"] for d in fd_defs] or [0.0], F32),
+        fd_host_type=jnp.asarray([d["host_type"] for d in fd_defs] or [-1], I32),
+        fd_dummy_type=jnp.asarray([d["dummy_type"] for d in fd_defs] or [-1], I32),
+        fd_target_type=jnp.asarray([d["target_type"] for d in fd_defs] or [-1], I32),
+        fd_release_lam=jnp.asarray([d["release_lam"] for d in fd_defs] or [0.0], F32),
+        j_dummy_type=jnp.asarray(join_d["dummy_type"] if join_d else -1, I32),
+        j_init_res=jnp.asarray(join_d["init_res"] if join_d else 0.0, F32),
+        j_state=jnp.asarray(join_d["state"] if join_d else 0, I32),
         restrict_pairs=jnp.asarray(
             restrict_rows[:, 0].astype(np.int64) * n_pad
             + restrict_rows[:, 1].astype(np.int64)
@@ -922,6 +954,16 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
                             else -1, I32),
         cpt_new=jnp.asarray(compiled.cpt["new"] if compiled and compiled.cpt
                             else -1, I32),
+        fr_target_type=jnp.asarray(freeze_d["target_type"] if freeze_d else -1, I32),
+        fr_final_type=jnp.asarray(freeze_d["final_type"] if freeze_d else -1, I32),
+        fr_width=jnp.asarray(
+            (np.asarray(box) * freeze_d["width"] if freeze_d
+             and freeze_d["width_is_ratio"] else
+             np.full(3, freeze_d["width"] if freeze_d else 0.0)), F32),
+        fr_dirs=jnp.asarray([(freeze_d is not None and d in freeze_d["dirs"])
+                             for d in ("-x", "x", "-y", "y", "-z", "z")]),
+        fr_prob=jnp.asarray(freeze_d["prob"] if freeze_d else 0.0, F32),
+        fr_remove=jnp.asarray(bool(freeze_d and freeze_d["remove"])),
     )
 
     state = MDState(

@@ -179,14 +179,25 @@ def _fix_distances(spec: SimSpec, cfg: EngineConfig, state: MDState) -> MDState:
     valid = (h >= 0) & (d >= 0)
     hc = jnp.maximum(h, 0)
     dc = jnp.maximum(d, 0)
+    n = state.pos.shape[0]
+
+    # resolve each constraint's owning definition by its dummy's type
+    t_dummy = state.type_id[dc]
+    def_idx = jnp.zeros_like(h)
+    for k in range(cfg.n_fd):
+        def_idx = jnp.where(t_dummy == spec.fd_dummy_type[k], k, def_idx)
+    eq = spec.fd_eq[def_idx]
+    host_t = spec.fd_host_type[def_idx]
+    target_t = spec.fd_target_type[def_idx]
+    rel_lam = spec.fd_release_lam[def_idx]
 
     # release on host type change
-    release = valid & (spec.fd_host_type >= 0) \
-        & (state.type_id[hc] != spec.fd_host_type)
-    n = state.pos.shape[0]
+    release = valid & (host_t >= 0) & (state.type_id[hc] != host_t)
     dsel = jnp.where(release, dc, n)
-    type_id = state.type_id.at[dsel].set(spec.fd_target_type, mode="drop")
-    lam = state.lam.at[dsel].set(0.0, mode="drop")
+    type_id = state.type_id.at[dsel].set(jnp.maximum(target_t, 0), mode="drop")
+    mass = state.mass.at[dsel].set(
+        spec.type_mass[jnp.maximum(target_t, 0)], mode="drop")
+    lam = state.lam.at[dsel].set(rel_lam, mode="drop")
     h = jnp.where(release, -1, h)
     d = jnp.where(release, -1, d)
     valid &= ~release
@@ -197,12 +208,12 @@ def _fix_distances(spec: SimSpec, cfg: EngineConfig, state: MDState) -> MDState:
     norm = jnp.sqrt(jnp.sum(dr * dr, -1, keepdims=True))
     unit = jnp.where(norm > 1e-9, dr / jnp.maximum(norm, 1e-9),
                      jnp.asarray([[1.0, 0.0, 0.0]], dr.dtype))
-    target = state.pos[hc] + spec.fd_eq * unit
+    target = state.pos[hc] + eq[:, None] * unit
     target -= state.box * jnp.floor(target / state.box)
     pos = state.pos.at[jnp.where(valid, dc, n)].set(target, mode="drop")
     vel = state.vel.at[jnp.where(valid, dc, n)].set(state.vel[hc], mode="drop")
     return dataclasses.replace(state, pos=pos, vel=vel, type_id=type_id,
-                               lam=lam, fixd_host=h, fixd_dummy=d)
+                               mass=mass, lam=lam, fixd_host=h, fixd_dummy=d)
 
 
 def _dynamic_resolution(spec: SimSpec, state: MDState) -> MDState:

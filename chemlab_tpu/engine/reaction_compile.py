@@ -61,6 +61,8 @@ class CompiledReactions:
     dyn_resolution: dict      # type_id -> (alpha, final_type_id)
     rb_rows: list             # RemoveNeighboursBonds entries
     cpt: dict | None          # ChangeParticleType descriptor
+    join: dict | None         # JoinMolecule descriptor
+    freeze: dict | None       # FreezeRegion descriptor
     dynamic_types: set        # type ids that change during the run
     observed_bondtypes: set
     interval: int
@@ -124,6 +126,8 @@ def compile_reactions(config: dict, systop: SystemTopology, bond_table_builder,
     dyn_resolution: dict = {}
     rb_rows: list = []
     cpt = None
+    join = None
+    freeze = None
     use_thermal_group = False
 
     def type_change(reactant) -> tuple:
@@ -237,6 +241,32 @@ def compile_reactions(config: dict, systop: SystemTopology, bond_table_builder,
         use_thermal_group = True
         return release
 
+    def lower_join(options):
+        """JoinMolecule (ref: reaction_post_process.py:322-362): the type_2
+        particle of a reaction is captured into a FixDistances constraint as
+        an invisible dummy; released back to target_type when the host's
+        type changes."""
+        nonlocal join, use_thermal_group
+        if join is not None:
+            raise NotImplementedError("only one JoinMolecule block supported")
+        target_type = options["target_type"]
+        final_type = options.get("final_type", target_type)
+        dummy_tid = systop.add_new_atomtype("DUMMY_%d" % systop.next_type_id)
+        target_rec = atomtypes.get(target_type, {})
+        join = {
+            "host_type": name2type[options["host_type"]],
+            "target_type": name2type[target_type],
+            "final_type": name2type[final_type],
+            "dummy_type": dummy_tid,
+            "eq_length": float(options["eq_length"]),
+            "init_res": float(options["init_res"]),
+            "state": int(target_rec.get("state", 0)),
+        }
+        dynamic_types.update((join["host_type"], join["target_type"],
+                              dummy_tid, join["final_type"]))
+        use_thermal_group = True
+        return join
+
     for group_name, group in config["reactions"].items():
         gid = len(groups)
         func, gparams = _pack_group_potential(group, bond_table_builder, table_dirs)
@@ -278,8 +308,25 @@ def compile_reactions(config: dict, systop: SystemTopology, bond_table_builder,
                 cpt = {"interval": int(o["interval"]),
                        "num": int(o["num_particles"]),
                        "old": int(o["type_id"]), "new": int(o["new_type_id"])}
-            elif cls in ("JoinMolecule", "FreezeRegion"):
-                logger.warning("extension %s (%s) not lowered yet — ignored", ext_name, cls)
+            elif cls == "JoinMolecule":
+                group_pp.append((ext_name, "join", lower_join(ext["options"])))
+            elif cls == "FreezeRegion":
+                # box-edge freeze regions (ref: reaction_post_process.py:139-201)
+                o = ext["options"]
+                freeze_tid = systop.add_new_atomtype(
+                    "FREEZE_%d" % systop.next_type_id)
+                dirs = o.get("directions", "-x,x,-y,y,-z,z").split(",")
+                freeze = {
+                    "target_type": name2type[o["target_type"]],
+                    "final_type": freeze_tid,
+                    "width": float(o["width"]),
+                    "width_is_ratio": o.get("width_type", "static") == "ratio",
+                    "dirs": [d.strip() for d in dirs],
+                    "prob": float(o["prob"]) if o.get("prob") else 1.0,
+                    "remove": o.get("remove_particles", "False") in
+                              ("True", "true", "1"),
+                }
+                dynamic_types.update((freeze["target_type"], freeze_tid))
             else:
                 raise ValueError("unknown extension class %s" % cls)
 
@@ -313,7 +360,7 @@ def compile_reactions(config: dict, systop: SystemTopology, bond_table_builder,
                 "new_type1": type_change(t1),
                 "new_type2": type_change(t2),
                 "cnb_type": -1, "cnb_min": 0, "cnb_max": 0,
-                "release_n": 0, "release_side": 2,
+                "release_n": 0, "release_side": 2, "join": False,
                 "restricted": group_restricted,
             }
             if group_restricted:
@@ -362,6 +409,10 @@ def compile_reactions(config: dict, systop: SystemTopology, bond_table_builder,
                 elif kind == "rb":
                     for e in payload:
                         rb_rows.append({"reaction": ridx, **e})
+                elif kind == "join":
+                    # JoinMolecule owns the type_2-side change
+                    row["join"] = True
+                    row["new_type2"] = -1
 
     r = len(channels)
 
@@ -389,6 +440,7 @@ def compile_reactions(config: dict, systop: SystemTopology, bond_table_builder,
         "r_release_n": col("release_n", np.int32),
         "r_release_side": col("release_side", np.int32),
         "r_restricted": col("restricted", bool),
+        "r_join": col("join", bool),
     } if r else {}
 
     pb = len(ppnb_rows)
@@ -421,6 +473,8 @@ def compile_reactions(config: dict, systop: SystemTopology, bond_table_builder,
         dyn_resolution=dyn_resolution,
         rb_rows=rb_rows,
         cpt=cpt,
+        join=join,
+        freeze=freeze,
         dynamic_types=dynamic_types,
         observed_bondtypes=observed_bondtypes,
         interval=general["interval"],

@@ -369,8 +369,10 @@ def apply_reaction_events(spec: SimSpec, cfg: EngineConfig, state: MDState,
         rel = mask & (rank < count)
         n = st.pos.shape[0]
         dsel = jnp.where(rel, jnp.maximum(st.fixd_dummy, 0), n)
-        type_id = st.type_id.at[dsel].set(spec.fd_target_type, mode="drop")
-        lam = st.lam.at[dsel].set(0.0, mode="drop")
+        # release-on-bond belongs to the ReleaseMolecule definition (index 0)
+        type_id = st.type_id.at[dsel].set(jnp.maximum(spec.fd_target_type[0], 0),
+                                          mode="drop")
+        lam = st.lam.at[dsel].set(spec.fd_release_lam[0], mode="drop")
         return dataclasses.replace(
             st, type_id=type_id, lam=lam,
             fixd_host=jnp.where(rel, -1, st.fixd_host),
@@ -446,6 +448,24 @@ def apply_reaction_events(spec: SimSpec, cfg: EngineConfig, state: MDState,
             rr0 = jnp.maximum(r, 0)
             for s_code, anchor in ((0, a), (1, b)):
                 st = _remove_neighbour_bonds(st, valid, anchor, rr0, s_code)
+        if cfg.has_fixd:
+            # JoinMolecule: capture the type_2 particle as an invisible dummy
+            # constrained to the type_1 host (ref: reaction_post_process.py:322-362)
+            do_join = valid & spec.r_join[jnp.maximum(r, 0)]
+            nn = st.pos.shape[0]
+            bsel = jnp.where(do_join, jnp.maximum(b, 0), nn)
+            tid = st.type_id.at[bsel].set(jnp.maximum(spec.j_dummy_type, 0),
+                                          mode="drop")
+            lam2 = st.lam.at[bsel].set(spec.j_init_res, mode="drop")
+            chem2 = st.chem_state.at[bsel].set(spec.j_state, mode="drop")
+            free = jnp.argmax(st.fixd_host < 0)
+            slot_ok = do_join & (st.fixd_host[free] < 0)
+            fh = st.fixd_host.at[jnp.where(slot_ok, free, st.fixd_host.shape[0])
+                                 ].set(jnp.maximum(a, 0), mode="drop")
+            fd = st.fixd_dummy.at[jnp.where(slot_ok, free, st.fixd_dummy.shape[0])
+                                  ].set(jnp.maximum(b, 0), mode="drop")
+            st = dataclasses.replace(st, type_id=tid, lam=lam2, chem_state=chem2,
+                                     fixd_host=fh, fixd_dummy=fd)
         st, ov3 = _generate_terms_for_bond(spec, st, a, b, make_bond,
                                            cfg.exclude_new_bonds)
         return (st, overflow | ov1 | ov2 | ov3), None
@@ -605,6 +625,38 @@ def change_particle_type_step(spec: SimSpec, cfg: EngineConfig,
     mass = state.mass.at[sel].set(spec.type_mass[nt], mode="drop")
     q = state.q.at[sel].set(spec.type_q[nt], mode="drop")
     return dataclasses.replace(state, key=key, type_id=type_id, mass=mass, q=q)
+
+
+# ---------------------------------------------------------------------------
+# FreezeRegion / ChangeInRegion (ref: reaction_post_process.py:139-201)
+# ---------------------------------------------------------------------------
+
+def freeze_region_step(spec: SimSpec, cfg: EngineConfig,
+                       state: MDState) -> MDState:
+    """Particles of fr_target_type entering the box-edge regions freeze
+    (type -> fr_final_type, velocity/force reset) or are removed."""
+    key, sub = jax.random.split(state.key)
+    pos = state.pos
+    w = spec.fr_width
+    box = state.box
+    in_region = jnp.zeros(pos.shape[0], bool)
+    for k, (axis, low_side) in enumerate(((0, True), (0, False), (1, True),
+                                          (1, False), (2, True), (2, False))):
+        side = (pos[:, axis] < w[axis]) if low_side else \
+               (pos[:, axis] > box[axis] - w[axis])
+        in_region |= spec.fr_dirs[k] & side
+    u = jax.random.uniform(sub, (pos.shape[0],))
+    hit = state.active & in_region & (state.type_id == spec.fr_target_type) \
+        & (u < spec.fr_prob)
+    type_id = jnp.where(hit & ~spec.fr_remove,
+                        jnp.maximum(spec.fr_final_type, 0), state.type_id)
+    # frozen particles stay pinned: zero velocity/force every step
+    pinned = hit | (state.active & (type_id == spec.fr_final_type))
+    vel = jnp.where(pinned[:, None], 0.0, state.vel)
+    force = jnp.where(pinned[:, None], 0.0, state.force)
+    active = state.active & ~(hit & spec.fr_remove)
+    return dataclasses.replace(state, key=key, type_id=type_id, vel=vel,
+                               force=force, active=active)
 
 
 # ---------------------------------------------------------------------------

@@ -51,6 +51,8 @@ def step_with_extensions(spec: SimSpec, cfg: EngineConfig, state: MDState,
             lambda st: reactions.atrp_step(spec, cfg, st),
             lambda st: st,
             state)
+    if cfg.has_freeze:
+        state = reactions.freeze_region_step(spec, cfg, state)
     if cfg.has_cpt:
         fire = state.reactions_on & (state.step % cfg.cpt_interval == 0)
         state = jax.lax.cond(

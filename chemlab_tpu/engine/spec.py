@@ -93,11 +93,13 @@ class EngineConfig:
     has_dissociation: bool
     has_fixd: bool            # FixDistances constraints present
     fixd_cap: int             # constraint table capacity
+    n_fd: int                 # FixDistances definition count
     has_dyn_resolution: bool  # any per-type lambda ramp active
     n_rb: int                 # RemoveNeighboursBonds entry count
     has_cpt: bool             # ChangeParticleType extension active
     cpt_interval: int
     cpt_num: int
+    has_freeze: bool          # FreezeRegion extension active
 
 
 @_dataclass
@@ -239,13 +241,21 @@ class SimSpec:
     dr_alpha: jnp.ndarray         # (T,) float32, 0 = off
     dr_final_type: jnp.ndarray    # (T,) int32, -1 = keep type
 
-    # -- FixDistances / ReleaseMolecule (ref: reaction_post_process.py:203-320) --
-    fd_eq: jnp.ndarray            # () float32 constraint length
-    fd_host_type: jnp.ndarray     # () int32; >=0 -> release on host type change
-    fd_dummy_type: jnp.ndarray    # () int32 dummy particle type
-    fd_target_type: jnp.ndarray   # () int32 type set on release (lambda=0)
+    # -- FixDistances definitions (ReleaseMolecule + JoinMolecule instances;
+    #    ref: reaction_post_process.py:203-362).  A constraint row's owning
+    #    definition is identified by its dummy particle's type. --
+    fd_eq: jnp.ndarray            # (K,) float32 constraint length
+    fd_host_type: jnp.ndarray     # (K,) int32; >=0 -> release on host type change
+    fd_dummy_type: jnp.ndarray    # (K,) int32 dummy particle type
+    fd_target_type: jnp.ndarray   # (K,) int32 type set on release
+    fd_release_lam: jnp.ndarray   # (K,) float32 lambda set on release
     r_release_n: jnp.ndarray      # (R,) int32 constraints released per event side
     r_release_side: jnp.ndarray   # (R,) int32 SIDE_*
+    # JoinMolecule per-channel capture (ref: reaction_post_process.py:322-362)
+    r_join: jnp.ndarray           # (R,) bool — capture type_2 into a constraint
+    j_dummy_type: jnp.ndarray     # () int32
+    j_init_res: jnp.ndarray       # () float32
+    j_state: jnp.ndarray          # () int32 state set on capture
 
     # -- RestrictReaction connectivity whitelist (ref: reaction_setup.py:115-128):
     #    sorted encoded pairs lo * n_pad + hi; empty = no restriction --
@@ -263,3 +273,11 @@ class SimSpec:
     # -- ChangeParticleType extension (ref: reaction_post_process.py:364-378) --
     cpt_old: jnp.ndarray          # () int32
     cpt_new: jnp.ndarray          # () int32
+
+    # -- FreezeRegion / ChangeInRegion (ref: reaction_post_process.py:139-201) --
+    fr_target_type: jnp.ndarray   # () int32
+    fr_final_type: jnp.ndarray    # () int32
+    fr_width: jnp.ndarray         # (3,) float32 edge-region width
+    fr_dirs: jnp.ndarray          # (6,) bool [-x, x, -y, y, -z, z]
+    fr_prob: jnp.ndarray          # () float32 per-step freeze probability
+    fr_remove: jnp.ndarray        # () bool remove instead of freeze

@@ -153,15 +153,18 @@ def main(argv=None):
     table_dirs = (os.path.dirname(os.path.abspath(args.top)) or ".", ".")
 
     logger.info("reading topology %s", args.top)
-    systop = build_system_topology(args.top,
-                                   generate_excl=args.exclusion_list is None)
-    if args.exclusion_list:
+    excl_path = args.exclusion_list
+    if excl_path and not os.path.exists(excl_path):
+        alt = os.path.join(table_dirs[0], excl_path)
+        if os.path.exists(alt):
+            excl_path = alt
+        else:
+            print("WARNING: exclusion list %s not found; generating "
+                  "exclusions from the topology instead" % excl_path)
+            excl_path = None
+    systop = build_system_topology(args.top, generate_excl=excl_path is None)
+    if excl_path:
         excl = set()
-        excl_path = args.exclusion_list
-        if not os.path.exists(excl_path):
-            alt = os.path.join(table_dirs[0], excl_path)
-            if os.path.exists(alt):
-                excl_path = alt
         with open(excl_path) as f:
             for line in f:
                 parts = line.replace(",", " ").split()
@@ -247,7 +250,7 @@ def main(argv=None):
         if "force" in store:
             kw["force"] = np.asarray(st.force)[:n]
         if "lambda_adr" in store:
-            kw["lambda_adr"] = np.asarray(st.lam)[:n]
+            kw["lam"] = np.asarray(st.lam)[:n]
         h5.dump(step, step * args.dt, **kw)
         if cfg.has_reactions:
             chem_rows = np.asarray(st.bonds.group) >= 0
