@@ -153,17 +153,23 @@ def match_reactions(spec: SimSpec, cfg: EngineConfig, state: MDState, seed):
     slot_valid = (j != i_idx) & state.active[:, None] & state.active[j]
 
     big = jnp.float32(1e30)
-    best_u = jnp.full((n, j.shape[1]), big)
-    best_r = jnp.full((n, j.shape[1]), -1, I32)
-    best_dir = jnp.zeros((n, j.shape[1]), bool)
-    for r in range(cfg.n_reactions):
-        for t1_is_lo in (True, False):
-            m, u = _channel_accept(spec, cfg, state, seed, i_idx, j, r2,
-                                   slot_valid, r, jnp.asarray(t1_is_lo))
-            better = m & (u < best_u)
-            best_u = jnp.where(better, u, best_u)
-            best_r = jnp.where(better, r, best_r)
-            best_dir = jnp.where(better, t1_is_lo, best_dir)
+    rs = jnp.arange(cfg.n_reactions, dtype=I32)
+    # vectorize the per-channel evaluation over (channel, direction) — one
+    # traced body instead of a 2R-times unrolled graph
+    m_all, u_all = jax.vmap(
+        lambda r, d: _channel_accept(spec, cfg, state, seed, i_idx, j, r2,
+                                     slot_valid, r, d),
+        in_axes=(0, None))(rs, jnp.asarray(True))
+    m_all2, u_all2 = jax.vmap(
+        lambda r, d: _channel_accept(spec, cfg, state, seed, i_idx, j, r2,
+                                     slot_valid, r, d),
+        in_axes=(0, None))(rs, jnp.asarray(False))
+    m_cat = jnp.concatenate([m_all, m_all2])          # (2R, N, K)
+    u_cat = jnp.where(m_cat, jnp.concatenate([u_all, u_all2]), big)
+    pick = jnp.argmin(u_cat, axis=0)                   # (N, K)
+    best_u = jnp.take_along_axis(u_cat, pick[None], axis=0)[0]
+    best_r = jnp.where(best_u < big, (pick % cfg.n_reactions).astype(I32), -1)
+    best_dir = pick < cfg.n_reactions
 
     accepted = best_r >= 0
     key = jnp.where(accepted, jnp.where(cfg.nearest_mode, r2, best_u), big)
@@ -212,12 +218,11 @@ def match_dissociations(spec: SimSpec, cfg: EngineConfig, state: MDState, seed):
     hi = jnp.maximum(i, j)
 
     big = jnp.float32(1e30)
-    cap = bonds.capacity
-    best_u = jnp.full(cap, big)
-    best_r = jnp.full(cap, -1, I32)
-    for r in range(cfg.n_reactions):
-        ti, tj = state.type_id[i], state.type_id[j]
-        si, sj = state.chem_state[i], state.chem_state[j]
+    ti, tj = state.type_id[i], state.type_id[j]
+    si, sj = state.chem_state[i], state.chem_state[j]
+    dt_i = spec.dt * cfg.reaction_interval
+
+    def chan(r):
         fwd = (ti == spec.r_t1[r]) & (tj == spec.r_t2[r]) \
             & (si >= spec.r_min1[r]) & (si < spec.r_max1[r]) \
             & (sj >= spec.r_min2[r]) & (sj < spec.r_max2[r])
@@ -225,15 +230,17 @@ def match_dissociations(spec: SimSpec, cfg: EngineConfig, state: MDState, seed):
             & (sj >= spec.r_min1[r]) & (sj < spec.r_max1[r]) \
             & (si >= spec.r_min2[r]) & (si < spec.r_max2[r])
         m = valid & spec.r_is_diss[r] & state.reaction_active[r] & (fwd | bwd)
-        dt_i = spec.dt * cfg.reaction_interval
         u1 = pair_uniform(seed, state.step, lo, hi, 1024 + 4 * r)
         u2 = pair_uniform(seed, state.step, lo, hi, 1024 + 4 * r + 1)
         far_break = (r2 > spec.r_cutoff2[r]) & (u1 < state.reaction_rates[r] * dt_i)
         spont = u2 < spec.r_diss_rate[r] * dt_i
-        m &= far_break | spont
-        better = m & (u1 < best_u)
-        best_u = jnp.where(better, u1, best_u)
-        best_r = jnp.where(better, r, best_r)
+        return m & (far_break | spont), u1
+
+    m_all, u_all = jax.vmap(chan)(jnp.arange(cfg.n_reactions, dtype=I32))
+    u_all = jnp.where(m_all, u_all, big)                # (R, cap)
+    pick = jnp.argmin(u_all, axis=0)
+    best_u = jnp.take_along_axis(u_all, pick[None], axis=0)[0]
+    best_r = jnp.where(best_u < big, pick.astype(I32), -1)
 
     broke = best_r >= 0
     order = jnp.argsort(jnp.where(broke, best_u, big))

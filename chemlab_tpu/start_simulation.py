@@ -252,11 +252,24 @@ def main(argv=None):
         if "lambda_adr" in store:
             kw["lam"] = np.asarray(st.lam)[:n]
         h5.dump(step, step * args.dt, **kw)
+
+    def dump_topology(st, step):
+        """DumpTopology analog: -1-padded connectivity tables per list
+        (ref: start_simulation.py:594-657)."""
+        t = step * args.dt
+        grp = np.asarray(st.bonds.group)
+        idx = np.asarray(st.bonds.idx)
         if cfg.has_reactions:
-            chem_rows = np.asarray(st.bonds.group) >= 0
-            h5.dump_connectivity("chem_bonds_0", step, step * args.dt,
-                                 np.where(chem_rows[:, None],
-                                          np.asarray(st.bonds.idx), -1))
+            for g in range(cfg.n_groups):
+                h5.dump_connectivity("chem_bonds_%d" % g, step, t,
+                                     np.where((grp == g)[:, None], idx, -1))
+        h5.dump_connectivity("bonds_0", step, t,
+                             np.where((grp < 0)[:, None], idx, -1))
+        if args.store_angdih:
+            h5.dump_connectivity("angles_0", step, t, np.asarray(st.angles.idx))
+            if st.dihedrals.capacity > 1:
+                h5.dump_connectivity("dihedrals_0", step, t,
+                                     np.asarray(st.dihedrals.idx))
 
     # ---- main loop (ref: start_simulation.py:728-797) ----
     integrator_step = args.int_step
@@ -301,6 +314,8 @@ def main(argv=None):
 
         if global_step % args.trj_collect == 0:
             dump_frame(state, global_step)
+        if global_step % args.topol_collect == 0:
+            dump_topology(state, global_step)
         if args.trj_flush and global_step % args.trj_flush == 0:
             h5.flush()
         if args.gro_trj_collect and global_step % args.gro_trj_collect == 0:
@@ -369,6 +384,7 @@ def main(argv=None):
 
     # ---- output phase (ref: start_simulation.py:800-1082) ----
     dump_frame(state, global_step)
+    dump_topology(state, global_step)
     h5.flush()
     h5.close()
     emon.close()

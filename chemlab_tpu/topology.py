@@ -60,6 +60,13 @@ def generate_exclusions(bonds, nrexcl: int):
     The bonded pairs themselves are always included
     (ref: gromacs_topology.py:316-377).
     """
+    from . import native
+
+    if native.available():
+        out = native.generate_exclusions(bonds, nrexcl)
+        if out is not None:
+            return out
+
     adj = collections.defaultdict(set)
     for i, j in bonds:
         adj[i].add(j)
