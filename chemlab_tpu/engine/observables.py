@@ -68,3 +68,33 @@ def cm_velocity(mass, vel, active):
     m = jnp.where(active, mass, 0.0)
     p = jnp.sum(m[:, None] * vel, axis=0)
     return p / jnp.maximum(jnp.sum(m), 1e-30)
+
+
+def reset_cm_velocity(mass, vel, active):
+    """CMVelocity().reset() equivalent (ref: start_simulation.py:680-682)."""
+    v_cm = cm_velocity(mass, vel, active)
+    return jnp.where(active[:, None], vel - v_cm, vel)
+
+
+def max_force(force, active):
+    f2 = jnp.sum(force * force, axis=-1)
+    return jnp.sqrt(jnp.max(jnp.where(active, f2, 0.0)))
+
+
+def angle_distribution(pos, box, angles, n_bins: int = 180):
+    """Histogram of valid angle-table angles over [0, pi]
+    (espressopp analysis.AngleDistribution)."""
+    i, j, k = angles.idx[:, 0], angles.idx[:, 1], angles.idx[:, 2]
+    valid = i >= 0
+    i, j, k = jnp.maximum(i, 0), jnp.maximum(j, 0), jnp.maximum(k, 0)
+    rij = pos[i] - pos[j]
+    rij -= box * jnp.round(rij / box)
+    rkj = pos[k] - pos[j]
+    rkj -= box * jnp.round(rkj / box)
+    nij = jnp.sqrt(jnp.sum(rij * rij, -1) + 1e-30)
+    nkj = jnp.sqrt(jnp.sum(rkj * rkj, -1) + 1e-30)
+    c = jnp.clip(jnp.sum(rij * rkj, -1) / (nij * nkj), -1.0, 1.0)
+    theta = jnp.arccos(c)
+    bins = jnp.clip((theta / jnp.pi * n_bins).astype(jnp.int32), 0, n_bins - 1)
+    hist = jnp.zeros(n_bins, jnp.int32)
+    return hist.at[jnp.where(valid, bins, n_bins)].add(1, mode="drop")

@@ -405,22 +405,33 @@ def apply_reaction_events(spec: SimSpec, cfg: EngineConfig, state: MDState,
                      ((ti == spec.rb_t2[p]) & (tj == spec.rb_t1[p]))
             dmin = jnp.minimum(dist[bi], dist[bj])
             hit |= owner & st.bonds.valid & tmatch & (dmin == spec.rb_level[p])
-        edges = jnp.where(hit[:, None], st.bonds.idx, -1)
-        # invalidate the bonds and their dependent angles/dihedrals
+        # compact hit rows to a small fixed set: a single reaction event can
+        # only remove a handful of bonds, and sweeping the full bond table
+        # against the angle/dihedral tables inside the event scan would be
+        # O(bond_cap * angle_cap) per event
+        max_rm = 8
+        order = jnp.argsort(~hit)[:max_rm]
+        rm_valid = hit[order]
+        edges = jnp.where(rm_valid[:, None], st.bonds.idx[order], -1)
         new_bonds = dataclasses.replace(
             st.bonds, idx=jnp.where(hit[:, None], -1, st.bonds.idx))
-        angles, hit_a = topo.invalidate_terms_with_edges(st.angles, edges, hit)
+        angles, hit_a = topo.invalidate_terms_with_edges(st.angles, edges,
+                                                         rm_valid)
         dihedrals, hit_d = topo.invalidate_terms_with_edges(st.dihedrals,
-                                                            edges, hit)
-        excl = topo.excl_remove(st.excl, edges, hit)
-        excl = topo.excl_remove(excl, st.angles.idx[:, (0, 2)], hit_a)
+                                                            edges, rm_valid)
+        excl = topo.excl_remove(st.excl, edges, rm_valid)
+        ha_order = jnp.argsort(~hit_a)[: 4 * max_rm]
+        excl = topo.excl_remove(excl, st.angles.idx[ha_order][:, (0, 2)],
+                                hit_a[ha_order])
         if st.dihedrals.capacity > 1:
-            excl = topo.excl_remove(excl, st.dihedrals.idx[:, (0, 3)], hit_d)
+            hd_order = jnp.argsort(~hit_d)[: 8 * max_rm]
+            excl = topo.excl_remove(excl, st.dihedrals.idx[hd_order][:, (0, 3)],
+                                    hit_d[hd_order])
         adj = st.adj
 
         def rm(k, adj):
-            return topo.adj_remove_edge(adj, edges[k, 0], edges[k, 1], hit[k])
-        adj = jax.lax.fori_loop(0, edges.shape[0], rm, adj)
+            return topo.adj_remove_edge(adj, edges[k, 0], edges[k, 1], rm_valid[k])
+        adj = jax.lax.fori_loop(0, max_rm, rm, adj)
         return dataclasses.replace(st, bonds=new_bonds, angles=angles,
                                    dihedrals=dihedrals, excl=excl, adj=adj)
 
@@ -528,9 +539,16 @@ def apply_dissociation_events(spec: SimSpec, cfg: EngineConfig, state: MDState,
     dihedrals, hit_d = topo.invalidate_terms_with_edges(state.dihedrals, edges,
                                                         ev_valid)
     excl = topo.excl_remove(state.excl, edges, ev_valid)
-    excl = topo.excl_remove(excl, state.angles.idx[:, (0, 2)], hit_a)
+    # compact dependent-term hits before the exclusion sweep (each removed
+    # bond owns only a few angles/dihedrals; full-capacity cross products
+    # would be O(excl_cap * term_cap))
+    cap_a = 4 * edges.shape[0]
+    ha = jnp.argsort(~hit_a)[:cap_a]
+    excl = topo.excl_remove(excl, state.angles.idx[ha][:, (0, 2)], hit_a[ha])
     if state.dihedrals.capacity > 1:
-        excl = topo.excl_remove(excl, state.dihedrals.idx[:, (0, 3)], hit_d)
+        hd = jnp.argsort(~hit_d)[: 2 * cap_a]
+        excl = topo.excl_remove(excl, state.dihedrals.idx[hd][:, (0, 3)],
+                                hit_d[hd])
 
     adj = state.adj
     def rm(k, adj):

@@ -106,5 +106,15 @@ def measure(spec: SimSpec, cfg: EngineConfig, state: MDState):
     out["n_angles"] = jnp.sum(state.angles.valid.astype(jnp.int32))
     out["n_dihedrals"] = jnp.sum(state.dihedrals.valid.astype(jnp.int32))
     out["n_excl"] = state.n_excl
+    out["n_part"] = jnp.sum(state.active.astype(jnp.int32))
+    out["max_force"] = observables.max_force(force, state.active)
+    if cfg.has_fixd:
+        out["num_fix_distances"] = jnp.sum((state.fixd_host >= 0)
+                                           .astype(jnp.int32))
+    if cfg.has_reactions:
+        # mean lambda of reaction-created bonds (ResolutionFixedPairList)
+        chem_rows = state.bonds.valid & (state.bonds.group >= 0)
+        nsel = jnp.maximum(jnp.sum(chem_rows), 1)
+        out["res_fpl"] = jnp.sum(jnp.where(chem_rows, state.bonds.lam, 0.0)) / nsel
     out["overflow"] = state.nbr.overflow
     return out

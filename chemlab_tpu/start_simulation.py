@@ -209,6 +209,11 @@ def main(argv=None):
         if c.kind == "conversion":
             c.obs_idx = obs_id(c.obs_idx)
 
+    # remove center-of-mass drift (ref: start_simulation.py:680-682)
+    from .engine import observables as obs_mod
+    state = dataclasses.replace(
+        state, vel=obs_mod.reset_cm_velocity(state.mass, state.vel, state.active))
+
     hooks_path = args.hooks or (
         "hooks.py" if os.path.exists("hooks.py") else None)
     hooks = _load_hooks(hooks_path)
@@ -301,6 +306,18 @@ def main(argv=None):
         if cfg.n_groups:
             for gi, c in enumerate(np.asarray(m["group_bonds"])):
                 row["count_group_%d" % gi] = int(c)
+        if args.count_tuples:
+            row["n_bonds"] = int(m["n_bonds"])
+            row["n_angles"] = int(m["n_angles"])
+            row["n_dihedrals"] = int(m["n_dihedrals"])
+            row["n_excl"] = int(m["n_excl"])
+        if args.count_fix_distances and "num_fix_distances" in m:
+            row["fd_count"] = int(m["num_fix_distances"])
+        if "P" in m:
+            row["P"] = float(m["P"])
+            row["boxL"] = float(m["boxL"])
+        if "res_fpl" in m:
+            row["res_fpl"] = float(m["res_fpl"])
         emon.row(row)
         if k % max(args.energy_collect // max(integrator_step, 1), 1) == 0:
             shown = {kk: v for kk, v in row.items()
@@ -411,6 +428,18 @@ def main(argv=None):
     with open(bench_path, "a") as f:
         f.write("%d %d %.2f %.2f\n" % (n_devices, cfg.n_particles,
                                        time.time() - t_wall, t_loop))
+    # timer breakdown pickle (ref: start_simulation.py:1040-1076)
+    import pickle
+
+    timers = {
+        "total": time.time() - t_wall,
+        "integrator_loop": t_loop,
+        "steps": global_step,
+        "n_devices": n_devices,
+        "neighbor_rebuilds": int(state.nbr.n_rebuilds),
+    }
+    with open("%s_benchmark.pck" % out_prefix, "wb") as f:
+        pickle.dump(timers, f)
     pps = cfg.n_particles * global_step / max(t_loop, 1e-9)
     print("Total time: %.1fs, loop: %.1fs, particle-steps/s: %.3g" % (
         time.time() - t_wall, t_loop, pps))
