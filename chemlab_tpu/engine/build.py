@@ -842,6 +842,8 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
         max_per_interval=compiled.max_per_interval if compiled else -1,
         exclude_new_bonds=opts.exclude_new_bonds,
         n_mix_entries=len(mix_entries),
+        needs_conversions=bool(mix_entries
+                               or (pair_arrays["pair_mix_mode"] == MIX_OBS).any()),
         has_lambda_pairs=bool(pair_arrays["pair_lam_scale"].any()),
         use_thermal_group=bool(opts.thermal_groups),
         nb_bins=opts.n_bins,

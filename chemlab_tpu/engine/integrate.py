@@ -29,7 +29,13 @@ from .state import MDState
 
 def compute_forces(spec: SimSpec, cfg: EngineConfig, state: MDState):
     """All conservative forces + per-term potential energies + conversions."""
-    obs_x = observables.conversions(spec, state.type_id, state.chem_state, state.active)
+    if cfg.needs_conversions:
+        obs_x = observables.conversions(spec, state.type_id, state.chem_state,
+                                        state.active)
+    else:
+        # conversions feed no potential: skip the per-step reductions in the
+        # hot loop (measure() recomputes them for monitoring)
+        obs_x = jnp.zeros(spec.obs_total.shape[0], jnp.float32)
     tab_a, tab_b, mix_x = pair_forces.resolve_pair_tables(spec, obs_x, cfg.n_mix_entries)
     f_pair, e_pair = pair_forces.pair_forces(
         spec, cfg.n_types, state.pos, state.box, state.type_id, state.q, state.lam,

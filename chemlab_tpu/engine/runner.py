@@ -88,7 +88,9 @@ def measure(spec: SimSpec, cfg: EngineConfig, state: MDState):
     Returns a dict of scalars: temperature, kinetic energy, per-term
     potential energies, conversions, per-group bond counts, counters.
     """
-    force, energies, obs_x = integrate.compute_forces(spec, cfg, state)
+    force, energies, _ = integrate.compute_forces(spec, cfg, state)
+    obs_x = observables.conversions(spec, state.type_id, state.chem_state,
+                                    state.active)
     out = dict(energies)
     out["T"] = observables.temperature(state.mass, state.vel, state.active,
                                        spec.thermal_type_mask, state.type_id)

@@ -81,6 +81,7 @@ class EngineConfig:
     max_per_interval: int
     exclude_new_bonds: bool   # add created bonds to the exclusion list
     n_mix_entries: int        # func-9/17 range entry count
+    needs_conversions: bool   # any conversion-dependent potential active
     has_lambda_pairs: bool    # any dynamic-resolution nonbonded
     use_thermal_group: bool
     nb_bins: int
