@@ -942,10 +942,10 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
         j_dummy_type=jnp.asarray(join_d["dummy_type"] if join_d else -1, I32),
         j_init_res=jnp.asarray(join_d["init_res"] if join_d else 0.0, F32),
         j_state=jnp.asarray(join_d["state"] if join_d else 0, I32),
-        restrict_pairs=jnp.asarray(
-            restrict_rows[:, 0].astype(np.int64) * n_pad
-            + restrict_rows[:, 1].astype(np.int64)
-            if restrict_rows.size else np.zeros(0, np.int64)),
+        restrict_lo=jnp.asarray(restrict_rows[:, 0].astype(I32)
+                                if restrict_rows.size else np.zeros(0, I32)),
+        restrict_hi=jnp.asarray(restrict_rows[:, 1].astype(I32)
+                                if restrict_rows.size else np.zeros(0, I32)),
         rb_reaction=jnp.asarray([e["reaction"] for e in rb_rows_], I32),
         rb_side=jnp.asarray([e["side"] for e in rb_rows_], I32),
         rb_anchor_type=jnp.asarray([e["anchor_type"] for e in rb_rows_], I32),

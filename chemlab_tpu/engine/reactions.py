@@ -113,13 +113,15 @@ def _channel_accept(spec: SimSpec, cfg: EngineConfig, state: MDState, seed,
     # no existing bond between the pair
     m &= ~jnp.any(state.adj[a] == b[..., None], axis=-1)
 
-    # RestrictReaction connectivity whitelist (ref: reaction_setup.py:115-128)
-    if spec.restrict_pairs.shape[0]:
-        n_pad = state.pos.shape[0]
-        code = lo.astype(jnp.int64) * n_pad + hi.astype(jnp.int64)
-        pos_ = jnp.searchsorted(spec.restrict_pairs, code)
-        pos_c = jnp.minimum(pos_, spec.restrict_pairs.shape[0] - 1)
-        listed = spec.restrict_pairs[pos_c] == code
+    # RestrictReaction connectivity whitelist (ref: reaction_setup.py:115-128);
+    # binary search on lo, then a bounded scan over the (short) equal-lo run
+    if spec.restrict_lo.shape[0]:
+        mm = spec.restrict_lo.shape[0]
+        pos_ = jnp.searchsorted(spec.restrict_lo, lo)
+        listed = jnp.zeros_like(m)
+        for k in range(8):
+            pk = jnp.minimum(pos_ + k, mm - 1)
+            listed |= (spec.restrict_lo[pk] == lo) & (spec.restrict_hi[pk] == hi)
         m &= listed | ~spec.r_restricted[r]
 
     # bonded-neighbour state constraint on the type_1 side (exchange)

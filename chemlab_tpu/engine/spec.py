@@ -259,8 +259,10 @@ class SimSpec:
     j_state: jnp.ndarray          # () int32 state set on capture
 
     # -- RestrictReaction connectivity whitelist (ref: reaction_setup.py:115-128):
-    #    sorted encoded pairs lo * n_pad + hi; empty = no restriction --
-    restrict_pairs: jnp.ndarray   # (M,) int64 sorted
+    #    lexicographically sorted (lo, hi) int32 pairs; int32-safe for TPU
+    #    (jax downcasts int64 with x64 disabled) --
+    restrict_lo: jnp.ndarray      # (M,) int32 sorted
+    restrict_hi: jnp.ndarray     # (M,) int32, sorted within equal lo runs
     r_restricted: jnp.ndarray     # (R,) bool
 
     # -- RemoveNeighboursBonds rows (ref: reaction_post_process.py:117-137) --
