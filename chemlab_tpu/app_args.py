@@ -150,6 +150,12 @@ def build_parser() -> ParamsArgumentParser:
     hb.add_argument("--t_hybrid_angle", default=0, type=int)
     hb.add_argument("--t_hybrid_dihedral", default=0, type=int)
 
+    cp = p.add_argument_group("Checkpointing (beyond the reference)")
+    cp.add_argument("--checkpoint_interval", default=0, type=int,
+                    help="Save full device state every n blocks (0 = off)")
+    cp.add_argument("--restore", default=None,
+                    help="Resume bit-exactly from a state .npz checkpoint")
+
     # ignored-for-compatibility flags accepted by the reference
     p.add_argument("--cap_force", default=False, type=_bool,
                    help=argparse.SUPPRESS)

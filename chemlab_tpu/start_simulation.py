@@ -209,10 +209,17 @@ def main(argv=None):
         if c.kind == "conversion":
             c.obs_idx = obs_id(c.obs_idx)
 
-    # remove center-of-mass drift (ref: start_simulation.py:680-682)
-    from .engine import observables as obs_mod
-    state = dataclasses.replace(
-        state, vel=obs_mod.reset_cm_velocity(state.mass, state.vel, state.active))
+    if args.restore:
+        from . import checkpoint
+        state = checkpoint.load_state(args.restore, state)
+        print("Restored device state from %s (step %d)"
+              % (args.restore, int(state.step)))
+    else:
+        # remove center-of-mass drift (ref: start_simulation.py:680-682)
+        from .engine import observables as obs_mod
+        state = dataclasses.replace(
+            state,
+            vel=obs_mod.reset_cm_velocity(state.mass, state.vel, state.active))
 
     hooks_path = args.hooks or (
         "hooks.py" if os.path.exists("hooks.py") else None)
@@ -288,7 +295,7 @@ def main(argv=None):
     eq_blocks_left = None
     t_loop = time.time()
     k = 0
-    global_step = 0
+    global_step = int(state.step)   # nonzero when resuming from a checkpoint
     while k < sim_steps:
         m = runner.measure(spec, cfg, state)
         row = {"step": global_step, "time": global_step * args.dt,
@@ -376,6 +383,10 @@ def main(argv=None):
                                  rng_seed=args.rng_seed)
         global_step += integrator_step
         k += 1
+
+        if args.checkpoint_interval and k % args.checkpoint_interval == 0:
+            from . import checkpoint
+            checkpoint.save_state("%s_checkpoint.npz" % out_prefix, state)
 
         ctx.state, ctx.step = state, global_step
         if not _call_hook(hooks, "hook_at_step", ctx, global_step):
