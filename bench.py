@@ -45,9 +45,23 @@ def main():
     state = testsystems.activate_initiators(built, systop, state,
                                             n=max(cfg.n_particles // 300, 4))
 
-    # compile + warm the cache (one full block incl. a reaction step)
+    # compile + warm the cache (one full block incl. a reaction step);
+    # regrow neighbor capacities if the workload's densification exceeds the
+    # static estimates (phase-separating melts at large N)
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from chemlab_tpu.engine import build as build_mod
+
     state = runner.run_block(spec, cfg, state, block_steps)
     jax.block_until_ready(state.pos)
+    for _ in range(3):
+        if not bool(state.nbr.overflow):
+            break
+        cfg, state = build_mod.grow_neighbor_caps(cfg, spec, state)
+        state = runner.run_block(spec, cfg, state, block_steps)
+        jax.block_until_ready(state.pos)
 
     t0 = time.perf_counter()
     for _ in range(n_blocks):
