@@ -78,6 +78,7 @@ class SimOptions:
     extra_dihedrals: int | None = None
     max_events: int = 128
     dtype: str = "float32"
+    use_pallas: bool | None = None   # None = env CHEMLAB_PALLAS=1
 
 
 class ObsRegistry:
@@ -374,6 +375,28 @@ def _build_pair_tables(systop: SystemTopology, opts: SimOptions, nb_tb, obs: Obs
     return out, mix_entries
 
 
+def _pallas_enabled(opts, pair_arrays, qq_pref) -> bool:
+    """Gate the pallas cell-tile pair kernel: explicit/env opt-in AND the
+    system's nonbonded physics fits the kernel's scope."""
+    import os as _os
+
+    want = opts.use_pallas
+    if want is None:
+        want = _os.environ.get("CHEMLAB_PALLAS", "0") == "1"
+    if not want:
+        return False
+    from . import pallas_pair
+
+    if qq_pref > 0:
+        logger.warning("pallas pair kernel disabled: coulomb not supported")
+        return False
+    if not pallas_pair.supports(None, pair_arrays):
+        logger.warning("pallas pair kernel disabled: unsupported pair variant "
+                       "(mixing/caps/lambda)")
+        return False
+    return True
+
+
 def _host_components(n, bonds):
     """Connected components over bonds -> molecule ids (union-find)."""
     parent = np.arange(n, dtype=np.int64)
@@ -395,6 +418,12 @@ def _host_components(n, bonds):
 
 def _round_up(x, m):
     return int(-(-x // m) * m)
+
+
+def _stencil_for(cell_dims):
+    from . import pallas_pair
+
+    return pallas_pair.stencil_table(cell_dims)
 
 
 def grow_neighbor_caps(cfg: EngineConfig, spec: SimSpec, state, factor: float = 1.5):
@@ -844,6 +873,7 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
         n_mix_entries=len(mix_entries),
         needs_conversions=bool(mix_entries
                                or (pair_arrays["pair_mix_mode"] == MIX_OBS).any()),
+        use_pallas=_pallas_enabled(opts, pair_arrays, qq_pref),
         has_lambda_pairs=bool(pair_arrays["pair_lam_scale"].any()),
         use_thermal_group=bool(opts.thermal_groups),
         nb_bins=opts.n_bins,
@@ -905,6 +935,7 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
         type_state=jnp.asarray([systop.top.atomtypes.get(
             systop.atomtype_atomsym.get(t, ""), {}).get("state", 0) for t in range(T)], I32),
         **{k: jnp.asarray(v) for k, v in pair_arrays.items()},
+        cell_stencil=jnp.asarray(_stencil_for(cell_dims)),
         qq_prefactor=jnp.asarray(qq_pref, F32),
         qq_cutoff2=jnp.asarray(opts.coulomb_cutoff**2, F32),
         **mix,

@@ -36,10 +36,26 @@ def compute_forces(spec: SimSpec, cfg: EngineConfig, state: MDState):
         # conversions feed no potential: skip the per-step reductions in the
         # hot loop (measure() recomputes them for monitoring)
         obs_x = jnp.zeros(spec.obs_total.shape[0], jnp.float32)
-    tab_a, tab_b, mix_x = pair_forces.resolve_pair_tables(spec, obs_x, cfg.n_mix_entries)
-    f_pair, e_pair = pair_forces.pair_forces(
-        spec, cfg.n_types, state.pos, state.box, state.type_id, state.q, state.lam,
-        state.nbr.idx, state.nbr.excl_mask, tab_a, tab_b, mix_x)
+    if cfg.use_pallas:
+        # cell-tile pallas kernel: all-pairs sum minus the exclusion list
+        from . import pallas_pair
+
+        interpret = jax.default_backend() != "tpu"
+        f_all, e_lj_all, e_tab_all = pallas_pair.cell_pair_forces(
+            state.pos, state.type_id, state.active, state.box,
+            state.nbr.buckets, spec.cell_stencil, spec,
+            cfg.n_types, cfg.cell_cap, interpret=interpret)
+        f_ex, e_lj_ex, e_tab_ex = pallas_pair.excluded_pair_correction(
+            spec, cfg.n_types, state.pos, state.box, state.type_id, state.excl)
+        f_pair = f_all - f_ex
+        e_pair = {"lj": e_lj_all - e_lj_ex, "lj-tab": e_tab_all - e_tab_ex,
+                  "coulomb": jnp.asarray(0.0, state.pos.dtype)}
+    else:
+        tab_a, tab_b, mix_x = pair_forces.resolve_pair_tables(
+            spec, obs_x, cfg.n_mix_entries)
+        f_pair, e_pair = pair_forces.pair_forces(
+            spec, cfg.n_types, state.pos, state.box, state.type_id, state.q,
+            state.lam, state.nbr.idx, state.nbr.excl_mask, tab_a, tab_b, mix_x)
     f_bond, e_bond = bonded_forces.bonded_forces(
         spec, cfg, state.pos, state.box, state.type_id, state.q,
         state.bonds, state.angles, state.dihedrals, state.pairs14)

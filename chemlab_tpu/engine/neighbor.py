@@ -155,6 +155,7 @@ def build_neighbor_state(pos, box, active, excl_pairs, rc_skin, *, dims, cell_ca
         idx=nbr,
         excl_mask=excl_mask,
         ref_pos=pos,
+        buckets=buckets,
         overflow=overflow | nbr_overflow | excl_overflow,
         n_rebuilds=jnp.asarray(1, I32),
     )

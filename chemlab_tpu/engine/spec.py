@@ -82,6 +82,7 @@ class EngineConfig:
     exclude_new_bonds: bool   # add created bonds to the exclusion list
     n_mix_entries: int        # func-9/17 range entry count
     needs_conversions: bool   # any conversion-dependent potential active
+    use_pallas: bool          # cell-tile pallas pair kernel (TPU fast path)
     has_lambda_pairs: bool    # any dynamic-resolution nonbonded
     use_thermal_group: bool
     nb_bins: int
@@ -150,6 +151,9 @@ class SimSpec:
     mix_tab_b: jnp.ndarray    # == tab_a for func 9
     mix_obs: jnp.ndarray
     mix_default: jnp.ndarray  # bool: func-9 default table flag
+
+    # -- cell stencil for the pallas pair kernel --
+    cell_stencil: jnp.ndarray     # (n_cells, S) int32 neighbor cell ids
 
     # -- table stacks --
     nb_ef: jnp.ndarray        # (nT, bins, 2)

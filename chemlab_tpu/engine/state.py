@@ -106,6 +106,7 @@ class NeighborState:
     idx: jnp.ndarray        # (N, K) int32 neighbor rows, N (=self) padded
     excl_mask: jnp.ndarray  # (N, K) bool — True when pair is excluded
     ref_pos: jnp.ndarray    # (N, 3) positions at last rebuild
+    buckets: jnp.ndarray    # (n_cells+1, cap) cell-dense rows (pallas path)
     overflow: jnp.ndarray   # () bool — any neighbor slot overflowed
     n_rebuilds: jnp.ndarray # () int32
 
