@@ -290,6 +290,11 @@ def main(argv=None):
     sim_steps = max(args.run // integrator_step, 1)
     print("Running %d blocks x %d steps" % (sim_steps, integrator_step))
 
+    ctx.state = state
+    if not _call_hook(hooks, "hook_before_sim", ctx):
+        raise RuntimeError("hook_before_sim returned False")
+    state = ctx.state
+
     reactions_enabled = False
     conversion_reached = False
     eq_blocks_left = None
