@@ -72,7 +72,7 @@ class SimOptions:
     max_neighbors: int | None = None
     cell_cap: int | None = None
     deg_cap: int = 8
-    excl_cap: int = 48
+    excl_cap: int | None = None     # None = 2x observed max + headroom
     extra_bonds: int | None = None
     extra_angles: int | None = None
     extra_dihedrals: int | None = None
@@ -666,6 +666,17 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
     dih_cap = _round_up(max(len(d_idx) + extra_d, 8), 128)
     pair14_cap = _round_up(len(p14_idx), 128) if p14_idx else 0
     excl_cap_pairs = _round_up(max(len(systop.exclusions) + 8 * extra_b, 8), 128)
+    if opts.excl_cap is None:
+        # per-particle exclusion rows: size from the observed topology degree
+        # (the (N, K, EXCL_CAP) neighbor mask scales linearly with this cap)
+        deg = np.zeros(n_pad, I32)
+        for a_, b_ in systop.exclusions:
+            deg[a_ - 1] += 1
+            deg[b_ - 1] += 1
+        obs_deg = int(deg.max()) if len(systop.exclusions) else 0
+        excl_cap = _round_up(max(2 * obs_deg + 8, 16), 8)
+    else:
+        excl_cap = opts.excl_cap
 
     max_cutoff = max(opts.lj_cutoff, opts.cg_cutoff, opts.coulomb_cutoff)
     rc_skin = max_cutoff + opts.skin
@@ -854,7 +865,7 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
         angle_cap=angle_cap,
         dihedral_cap=dih_cap,
         pair14_cap=pair14_cap,
-        excl_cap=opts.excl_cap,
+        excl_cap=excl_cap,
         max_events=opts.max_events,
         n_reactions=n_r,
         n_groups=compiled.n_groups if compiled else 0,
@@ -1022,7 +1033,7 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
         nbr=neighbor.build_neighbor_state(
             jnp.asarray(pos), jnp.asarray(box), jnp.asarray(active), jnp.asarray(excl),
             rc_skin, dims=cell_dims, cell_cap=cell_cap,
-            max_neighbors=max_neighbors, excl_cap=opts.excl_cap),
+            max_neighbors=max_neighbors, excl_cap=excl_cap),
         box=jnp.asarray(box),
         baro_v=jnp.asarray(0.0, F32),
         reactions_on=jnp.asarray(False),

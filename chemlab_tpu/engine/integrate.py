@@ -60,10 +60,13 @@ def compute_forces(spec: SimSpec, cfg: EngineConfig, state: MDState):
         spec, cfg, state.pos, state.box, state.type_id, state.q,
         state.bonds, state.angles, state.dihedrals, state.pairs14)
     force = f_pair + f_bond
-    # global CapForce extension (ref: start_simulation.py:321-324)
-    fmag = jnp.sqrt(jnp.sum(force * force, axis=-1, keepdims=True) + 1e-30)
+    # global CapForce extension (ref: start_simulation.py:321-324);
+    # overflow-safe norm: sum(F^2) can exceed float32 range on overlaps
+    fmax = jnp.max(jnp.abs(force), axis=-1, keepdims=True)
+    fdir = force / jnp.maximum(fmax, 1e-30)
+    fmag = fmax * jnp.sqrt(jnp.sum(fdir * fdir, axis=-1, keepdims=True))
     cap = spec.max_force
-    force = jnp.where(cap > 0.0, force * jnp.minimum(1.0, cap / fmag), force)
+    force = jnp.where(cap > 0.0, force * jnp.minimum(1.0, cap / jnp.maximum(fmag, 1e-30)), force)
     force = jnp.where(state.active[:, None], force, 0.0)
     energies = {**e_pair, **e_bond}
     return force, energies, obs_x

@@ -139,13 +139,17 @@ def build_neighbor_state(pos, box, active, excl_pairs, rc_skin, *, dims, cell_ca
     valid = (cand >= 0) & (cand != self_idx[:, None]) & (d2 < rc_skin * rc_skin)
     valid &= active[cand_safe] & active[:, None]
 
-    big = jnp.float32(1e30)
-    keys = jnp.where(valid, d2, big)
-    neg_keys, picked = jax.lax.top_k(-keys, max_neighbors)
-    nbr = jnp.take_along_axis(cand_safe, picked, axis=1)
-    picked_valid = -neg_keys < big
-    nbr = jnp.where(picked_valid, nbr, self_idx[:, None])
-    nbr_overflow = jnp.sum(valid, axis=1).max() > max_neighbors
+    # order-preserving compaction: any K in-range candidates serve as the
+    # neighbor row (no nearest-K needed), so a cumsum pack replaces the
+    # far costlier top_k sort over all stencil candidates
+    rank = jnp.cumsum(valid.astype(I32), axis=1) - 1
+    dest = jnp.where(valid & (rank < max_neighbors), rank, max_neighbors)
+    nbr = jnp.full((n_pad, max_neighbors + 1), -1, I32)
+    rows = jnp.broadcast_to(self_idx[:, None], cand.shape)
+    nbr = nbr.at[rows, dest].set(cand_safe, mode="drop")
+    nbr = nbr[:, :max_neighbors]
+    nbr = jnp.where(nbr >= 0, nbr, self_idx[:, None])
+    nbr_overflow = jnp.max(rank[:, -1]) + 1 > max_neighbors
 
     # exclusion mask
     excl_rows, excl_overflow = build_exclusion_rows(excl_pairs, n_pad, excl_cap)

@@ -211,10 +211,19 @@ def warmup(built, state, steps: int = 400, max_disp: float = 0.05, kT=None,
         def body(_, st):
             st = integrate.maybe_rebuild_neighbors(spec, cfg, st)
             force, _, _ = integrate.compute_forces(spec, cfg, st)
-            fmag = jnp.sqrt(jnp.sum(force**2, -1, keepdims=True) + 1e-20)
-            step_len = jnp.minimum(fmag * 1e-4, max_disp)
+            # overflow-safe normalization: |F| can exceed 1e21 on deep
+            # overlaps, so sum(F^2) would overflow float32 to inf; the
+            # zero-force branch is selected with where (not eps-max) so the
+            # compiler's rsqrt rewrite cannot produce 0 * inf = nan
+            fmax = jnp.max(jnp.abs(force), -1, keepdims=True)
+            nonzero = fmax > 0.0
+            fdir = jnp.where(nonzero, force / jnp.where(nonzero, fmax, 1.0), 0.0)
+            fnorm = jnp.sqrt(jnp.sum(fdir**2, -1, keepdims=True))
+            ok = fnorm > 0.0
+            unit = jnp.where(ok, fdir / jnp.where(ok, fnorm, 1.0), 0.0)
+            step_len = jnp.minimum(fmax * fnorm * 1e-4, max_disp)
             pos = st.pos + jnp.where(st.active[:, None],
-                                     force / fmag * step_len, 0.0)
+                                     unit * step_len, 0.0)
             shift = jnp.floor(pos / st.box).astype(jnp.int32)
             pos = pos - shift.astype(pos.dtype) * st.box
             return dataclasses.replace(st, pos=pos)
@@ -230,6 +239,7 @@ def warmup(built, state, steps: int = 400, max_disp: float = 0.05, kT=None,
     v = jnp.where(state.active[:, None], v, 0.0)
     mtot = jnp.sum(jnp.where(state.active, state.mass, 0.0))
     v = v - jnp.sum(state.mass[:, None] * v, 0) / mtot
+    v = jnp.where(state.active[:, None], v, 0.0)   # keep padding rows at rest
     state = dataclasses.replace(state, vel=v, step=jnp.asarray(0, jnp.int32))
     return runner.initial_forces(spec, cfg, state)
 
