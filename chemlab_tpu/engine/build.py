@@ -30,7 +30,7 @@ import numpy as np
 from .. import files_io
 from ..topology import SystemTopology, combine_lj
 from . import neighbor, reaction_compile, tables
-from .spec import (MIX_MULTIRANGE, MIX_OBS, MIX_STATIC, PAIR_LJ, PAIR_NONE,
+from .spec import (MIX_MULTIRANGE, MIX_OBS, MIX_STATIC, PAIR_LJ,
                    PAIR_TAB, EngineConfig, SimSpec)
 from .state import N_BOND_PARAMS, MDState, TermTable
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from .spec import SimSpec
-from .state import MDState, TermTable
+from .state import TermTable
 
 
 def conversions(spec: SimSpec, type_id, chem_state, active) -> jnp.ndarray:

@@ -24,7 +24,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from . import tables
-from .spec import MIX_MULTIRANGE, MIX_OBS, PAIR_LJ, PAIR_TAB, SimSpec
+from .spec import MIX_OBS, PAIR_LJ, PAIR_TAB, SimSpec
 
 
 def resolve_pair_tables(spec: SimSpec, obs_x, n_mix_entries: int):

@@ -25,7 +25,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from .state import N_BOND_PARAMS, TermTable
+from .state import TermTable
 
 I32 = jnp.int32
 
