@@ -885,6 +885,10 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
         needs_conversions=bool(mix_entries
                                or (pair_arrays["pair_mix_mode"] == MIX_OBS).any()),
         use_pallas=_pallas_enabled(opts, pair_arrays, qq_pref),
+        has_lj=bool((pair_arrays["pair_kind"] == PAIR_LJ).any()),
+        has_tabulated=bool((pair_arrays["pair_kind"] == PAIR_TAB).any()),
+        has_caps=bool((pair_arrays["pair_caprad"] > 0).any()
+                      or (pair_arrays["pair_max_force"] > 0).any()),
         has_lambda_pairs=bool(pair_arrays["pair_lam_scale"].any()),
         use_thermal_group=bool(opts.thermal_groups),
         nb_bins=opts.n_bins,

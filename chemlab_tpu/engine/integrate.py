@@ -55,7 +55,8 @@ def compute_forces(spec: SimSpec, cfg: EngineConfig, state: MDState):
             spec, obs_x, cfg.n_mix_entries)
         f_pair, e_pair = pair_forces.pair_forces(
             spec, cfg.n_types, state.pos, state.box, state.type_id, state.q,
-            state.lam, state.nbr.idx, state.nbr.excl_mask, tab_a, tab_b, mix_x)
+            state.lam, state.nbr.idx, state.nbr.excl_mask, tab_a, tab_b, mix_x,
+            cfg=cfg)
     f_bond, e_bond = bonded_forces.bonded_forces(
         spec, cfg, state.pos, state.box, state.type_id, state.q,
         state.bonds, state.angles, state.dihedrals, state.pairs14)

@@ -51,12 +51,19 @@ def resolve_pair_tables(spec: SimSpec, obs_x, n_mix_entries: int):
 
 
 def pair_forces(spec: SimSpec, n_types: int, pos, box, type_id, q, lam, nbr_idx,
-                excl_mask, tab_a, tab_b, mix_x):
+                excl_mask, tab_a, tab_b, mix_x, cfg=None):
     """Compute nonbonded forces and energies over neighbor rows.
 
     Returns (force (N,3), energies dict). Energies are per-kind sums
-    ('lj', 'lj-tab', 'coulomb') halved for double counting.
+    ('lj', 'lj-tab', 'coulomb') halved for double counting.  When ``cfg``
+    is given, its static flags elide absent physics (tabulated pairs,
+    coulomb, caps, lambda scaling) from the compiled hot loop.
     """
+    has_tab = cfg is None or cfg.has_tabulated
+    has_lj = cfg is None or cfg.has_lj
+    has_qq = cfg is None or cfg.has_coulomb
+    has_cap = cfg is None or cfg.has_caps
+    has_lam = cfg is None or cfg.has_lambda_pairs
     n = pos.shape[0]
     j = nbr_idx
     dr = pos[:, None, :] - pos[j]           # r_i - r_j
@@ -72,48 +79,68 @@ def pair_forces(spec: SimSpec, n_types: int, pos, box, type_id, q, lam, nbr_idx,
 
     kind = spec.pair_kind[p]
     in_cut = r2 < spec.pair_cutoff2[p]
-    caprad = spec.pair_caprad[p]
-    r_eff = jnp.where(caprad > 0.0, jnp.maximum(r, caprad), r)
+    zero = jnp.zeros_like(r2)
+    if has_cap:
+        caprad = spec.pair_caprad[p]
+        r_eff = jnp.where(caprad > 0.0, jnp.maximum(r, caprad), r)
+        above_cap = r >= caprad
+    else:
+        caprad = None
+        r_eff = r
+        above_cap = True
 
     # ---- Lennard-Jones ----
-    sig = spec.pair_sig[p]
-    eps = spec.pair_eps[p]
-    s2 = (sig * sig) / (r_eff * r_eff)
-    s6 = s2 * s2 * s2
-    lj_mask = mask & (kind == PAIR_LJ) & in_cut
-    e_lj = jnp.where(lj_mask, 4.0 * eps * (s6 * s6 - s6) - spec.pair_shift[p], 0.0)
-    # F(r)/r with F = -dU/dr; zero below caprad (flat capped energy)
-    f_lj = jnp.where(lj_mask & (r >= caprad), 48.0 * eps * (s6 * s6 - 0.5 * s6) / (r_eff * r_eff), 0.0)
+    if has_lj:
+        sig = spec.pair_sig[p]
+        eps = spec.pair_eps[p]
+        s2 = (sig * sig) / (r_eff * r_eff)
+        s6 = s2 * s2 * s2
+        lj_mask = mask & (kind == PAIR_LJ) & in_cut
+        e_lj = jnp.where(lj_mask, 4.0 * eps * (s6 * s6 - s6) - spec.pair_shift[p], 0.0)
+        # F(r)/r with F = -dU/dr; zero below caprad (flat capped energy)
+        f_lj = jnp.where(lj_mask & above_cap,
+                         48.0 * eps * (s6 * s6 - 0.5 * s6) / (r_eff * r_eff), 0.0)
+    else:
+        e_lj, f_lj = zero, zero
 
     # ---- tabulated (with mixing) ----
-    tab_mask = mask & (kind == PAIR_TAB) & in_cut
-    ea, fa = tables.interpolate(spec.nb_ef, spec.nb_r0, spec.nb_dr, tab_a[p], r_eff)
-    same = tab_a[p] == tab_b[p]
-    eb, fb = tables.interpolate(spec.nb_ef, spec.nb_r0, spec.nb_dr,
-                                jnp.where(same, tab_a[p], tab_b[p]), r_eff)
-    xm = mix_x[p]
-    e_tab = xm * ea + (1.0 - xm) * eb
-    f_tab = xm * fa + (1.0 - xm) * fb
-    e_tab = jnp.where(tab_mask, e_tab, 0.0)
-    f_tab = jnp.where(tab_mask & (r >= caprad), f_tab / r, 0.0)
+    if has_tab:
+        tab_mask = mask & (kind == PAIR_TAB) & in_cut
+        ea, fa = tables.interpolate(spec.nb_ef, spec.nb_r0, spec.nb_dr, tab_a[p], r_eff)
+        same = tab_a[p] == tab_b[p]
+        eb, fb = tables.interpolate(spec.nb_ef, spec.nb_r0, spec.nb_dr,
+                                    jnp.where(same, tab_a[p], tab_b[p]), r_eff)
+        xm = mix_x[p]
+        e_tab = xm * ea + (1.0 - xm) * eb
+        f_tab = xm * fa + (1.0 - xm) * fb
+        e_tab = jnp.where(tab_mask, e_tab, 0.0)
+        f_tab = jnp.where(tab_mask & above_cap, f_tab / r, 0.0)
+    else:
+        e_tab, f_tab = zero, zero
 
     # ---- dynamic-resolution lambda scaling ----
-    w = jnp.where(spec.pair_lam_scale[p], lam[:, None] * lam[j], 1.0)
-    e_lj, f_lj = e_lj * w, f_lj * w
-    e_tab, f_tab = e_tab * w, f_tab * w
+    if has_lam:
+        w = jnp.where(spec.pair_lam_scale[p], lam[:, None] * lam[j], 1.0)
+        e_lj, f_lj = e_lj * w, f_lj * w
+        e_tab, f_tab = e_tab * w, f_tab * w
 
     # ---- per-pair force cap ----
-    fmax = spec.pair_max_force[p]
     f_nb = f_lj + f_tab
-    fmag = jnp.abs(f_nb) * r
-    scale = jnp.where((fmax > 0.0) & (fmag > fmax), fmax / jnp.maximum(fmag, 1e-30), 1.0)
-    f_nb = f_nb * scale
+    if has_cap:
+        fmax = spec.pair_max_force[p]
+        fmag = jnp.abs(f_nb) * r
+        scale = jnp.where((fmax > 0.0) & (fmag > fmax),
+                          fmax / jnp.maximum(fmag, 1e-30), 1.0)
+        f_nb = f_nb * scale
 
     # ---- truncated Coulomb ----
-    qq_mask = mask & (r2 < spec.qq_cutoff2) & (spec.qq_prefactor > 0.0)
-    qq = spec.qq_prefactor * q[:, None] * q[j]
-    e_qq = jnp.where(qq_mask, qq / r, 0.0)
-    f_qq = jnp.where(qq_mask, qq / (r2 * r), 0.0)
+    if has_qq:
+        qq_mask = mask & (r2 < spec.qq_cutoff2) & (spec.qq_prefactor > 0.0)
+        qq = spec.qq_prefactor * q[:, None] * q[j]
+        e_qq = jnp.where(qq_mask, qq / r, 0.0)
+        f_qq = jnp.where(qq_mask, qq / (r2 * r), 0.0)
+    else:
+        e_qq, f_qq = zero, zero
 
     f_over_r = f_nb + f_qq
     force = jnp.sum(f_over_r[..., None] * dr, axis=1)

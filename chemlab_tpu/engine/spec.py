@@ -83,6 +83,9 @@ class EngineConfig:
     n_mix_entries: int        # func-9/17 range entry count
     needs_conversions: bool   # any conversion-dependent potential active
     use_pallas: bool          # cell-tile pallas pair kernel (TPU fast path)
+    has_lj: bool              # any LJ type pair
+    has_tabulated: bool       # any tabulated type pair
+    has_caps: bool            # any caprad / per-pair max_force
     has_lambda_pairs: bool    # any dynamic-resolution nonbonded
     use_thermal_group: bool
     nb_bins: int
