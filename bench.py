@@ -83,6 +83,8 @@ def main():
             "steps_timed": n_steps,
             "wall_s": round(dt, 3),
             "reaction_events": int(m["reaction_counts"].sum()),
+            "reaction_events_per_s": round(
+                int(m["reaction_counts"].sum()) / dt, 2),
             "device": str(jax.devices()[0]),
             "overflow": bool(m["overflow"]),
         },

@@ -244,6 +244,50 @@ def warmup(built, state, steps: int = 400, max_disp: float = 0.05, kT=None,
     return runner.initial_forces(spec, cfg, state)
 
 
+def generate_example(out_dir: str, n_mols: int = 2000, density: float = 0.27,
+                     kT: float = 1.0, seed: int = 11, equilibrate: int = 500):
+    """Write a complete runnable example (the reference's polymer_melt.py
+    workflow: generate chains, warm up, write conf.gro + topol.top + cfg)."""
+    import os
+
+    import jax
+
+    from . import writers
+    from .engine import runner
+
+    os.makedirs(out_dir, exist_ok=True)
+    built, systop, coords = build_melt(n_mols, density, kT=kT, seed=seed,
+                                       reactive=False)
+    st = runner.initial_forces(built.spec, built.cfg, built.state)
+    st = warmup(built, st, steps=max(equilibrate, 100), kT=kT)
+    st = runner.run_block(built.spec, built.cfg, st, equilibrate)
+    jax.block_until_ready(st.pos)
+    out = writers.state_to_coordinates(st, systop, coords)
+    files_io.write_gro(os.path.join(out_dir, "conf.gro"), out, backup=False)
+    with open(os.path.join(out_dir, "topol.top"), "w") as f:
+        f.write(_melt_topology_text(n_mols))
+    with open(os.path.join(out_dir, "atrp.cfg"), "w") as f:
+        f.write(ATRP_CFG_TEXT)
+    return out_dir
+
+
+def _main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(prog="chemlab-genmelt",
+                                description="generate an equilibrated ATRP "
+                                            "melt example directory")
+    p.add_argument("out_dir")
+    p.add_argument("--n_mols", type=int, default=2000)
+    p.add_argument("--density", type=float, default=0.27)
+    p.add_argument("--kT", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=11)
+    a = p.parse_args(argv)
+    generate_example(a.out_dir, a.n_mols, a.density, a.kT, a.seed)
+    print("wrote %s" % a.out_dir)
+    return 0
+
+
 def activate_initiators(built, systop, state, n: int = 20, seed: int = 1):
     """Flip n MA monomers to FA radicals in state 3 (the hooks.py step)."""
     import dataclasses
@@ -262,3 +306,9 @@ def activate_initiators(built, systop, state, n: int = 20, seed: int = 1):
     return dataclasses.replace(state, type_id=jnp.asarray(tid),
                                chem_state=jnp.asarray(chem),
                                reactions_on=jnp.asarray(True))
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(_main())
