@@ -9,8 +9,7 @@ Fidelity notes:
   - LJ mixing uses the *raw* [ atomtypes ] columns exactly as the reference
     does (combination() over the unconverted values;
     ref: gromacs_topology.py:679-681) so step-0 energies match.
-  - nonbonded func codes 1,8,9,10,11,12,13,15,16,17 are lowered; 14
-    (time-ramped pair scaling) currently evaluates as a plain table and 18 is
+  - nonbonded func codes 1,8,9,10,11,12,13,14,15,16,17 are lowered; 18 is
     a no-op exactly like the reference (ref: gromacs_topology.py:880-881).
   - nb-table index 0 is a reserved all-zero table (the "no potential matched"
     target for MultiTabulated ranges without a default).
@@ -228,6 +227,7 @@ def _build_pair_tables(systop: SystemTopology, opts: SimOptions, nb_tb, obs: Obs
         "pair_obs": np.zeros(n2, I32),
         "pair_lam_scale": np.zeros(n2, bool),
         "pair_max_force": np.full(n2, -1.0, F32),
+        "pair_pps_incr": np.zeros(n2, F32),
     }
     mix_entries = []  # (pair_flat, lo, hi, tab_a, tab_b, obs, default)
 
@@ -328,12 +328,13 @@ def _build_pair_tables(systop: SystemTopology, opts: SimOptions, nb_tb, obs: Obs
                 set_pair(t1, t2, kind=PAIR_TAB, tab_a=tab, tab_b=tab,
                          cutoff2=tab_cut**2, caprad=float(pp[1]))
             elif func == 14:
-                logger.warning("func 14 (ParticlePairScaling) evaluated as a plain "
-                               "table for %s-%s", s1, s2)
+                # ParticlePairScaling: new neighbor pairs fade in with a
+                # per-step scale ramp (ref: gromacs_topology.py:622-631,792-817)
                 tab = _load_nb_table(pp[0], nb_tb, opts.table_dirs)
+                incr = float(pp[1])
                 mf = float(pp[2]) if len(pp) > 2 else -1.0
                 set_pair(t1, t2, kind=PAIR_TAB, tab_a=tab, tab_b=tab,
-                         cutoff2=tab_cut**2, max_force=mf)
+                         cutoff2=tab_cut**2, max_force=mf, pps_incr=incr)
             elif func == 15:
                 mf = -1.0
                 if pp and len(pp) == 1:
@@ -446,7 +447,8 @@ def grow_neighbor_caps(cfg: EngineConfig, spec: SimSpec, state, factor: float = 
     nbr = neighbor.build_neighbor_state(
         state.pos, state.box, state.active, state.excl, rc_skin,
         dims=cfg.cell_dims, cell_cap=cfg.cell_cap,
-        max_neighbors=cfg.max_neighbors, excl_cap=cfg.excl_cap)
+        max_neighbors=cfg.max_neighbors, excl_cap=cfg.excl_cap,
+        track_birth=cfg.has_pps, prev=None, step=state.step)
     nbr = dataclasses.replace(nbr, n_rebuilds=state.nbr.n_rebuilds + 1)
     return cfg, dataclasses.replace(state, nbr=nbr)
 
@@ -889,6 +891,7 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
         has_tabulated=bool((pair_arrays["pair_kind"] == PAIR_TAB).any()),
         has_caps=bool((pair_arrays["pair_caprad"] > 0).any()
                       or (pair_arrays["pair_max_force"] > 0).any()),
+        has_pps=bool((pair_arrays["pair_pps_incr"] > 0).any()),
         has_lambda_pairs=bool(pair_arrays["pair_lam_scale"].any()),
         use_thermal_group=bool(opts.thermal_groups),
         nb_bins=opts.n_bins,
@@ -1037,7 +1040,8 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
         nbr=neighbor.build_neighbor_state(
             jnp.asarray(pos), jnp.asarray(box), jnp.asarray(active), jnp.asarray(excl),
             rc_skin, dims=cell_dims, cell_cap=cell_cap,
-            max_neighbors=max_neighbors, excl_cap=excl_cap),
+            max_neighbors=max_neighbors, excl_cap=excl_cap,
+            track_birth=cfg.has_pps),
         box=jnp.asarray(box),
         baro_v=jnp.asarray(0.0, F32),
         reactions_on=jnp.asarray(False),

@@ -56,7 +56,8 @@ def compute_forces(spec: SimSpec, cfg: EngineConfig, state: MDState):
         f_pair, e_pair = pair_forces.pair_forces(
             spec, cfg.n_types, state.pos, state.box, state.type_id, state.q,
             state.lam, state.nbr.idx, state.nbr.excl_mask, tab_a, tab_b, mix_x,
-            cfg=cfg)
+            cfg=cfg, pps_step=state.step if cfg.has_pps else None,
+            pps_birth=state.nbr.birth if cfg.has_pps else None)
     f_bond, e_bond = bonded_forces.bonded_forces(
         spec, cfg, state.pos, state.box, state.type_id, state.q,
         state.bonds, state.angles, state.dihedrals, state.pairs14)
@@ -180,7 +181,9 @@ def maybe_rebuild_neighbors(spec: SimSpec, cfg: EngineConfig, state: MDState,
         nbr = neighbor.build_neighbor_state(
             st.pos, st.box, st.active, st.excl, rc_skin,
             dims=cfg.cell_dims, cell_cap=cfg.cell_cap,
-            max_neighbors=cfg.max_neighbors, excl_cap=cfg.excl_cap)
+            max_neighbors=cfg.max_neighbors, excl_cap=cfg.excl_cap,
+            track_birth=cfg.has_pps, prev=st.nbr if cfg.has_pps else None,
+            step=st.step)
         nbr = dataclasses.replace(
             nbr,
             n_rebuilds=st.nbr.n_rebuilds + 1,

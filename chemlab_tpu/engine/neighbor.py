@@ -109,15 +109,21 @@ def build_exclusion_rows(excl_pairs, n_pad, excl_cap):
     return out[:n_pad], overflow
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "cell_cap", "max_neighbors", "excl_cap"))
+@functools.partial(jax.jit, static_argnames=("dims", "cell_cap", "max_neighbors",
+                                             "excl_cap", "track_birth"))
 def build_neighbor_state(pos, box, active, excl_pairs, rc_skin, *, dims, cell_cap,
-                         max_neighbors, excl_cap):
+                         max_neighbors, excl_cap, track_birth: bool = False,
+                         prev=None, step=None):
     """Build a fresh NeighborState.
 
     Rows list the K nearest in-range (< rc_skin) active candidates of each
     particle; unused slots point at the particle itself (zero displacement,
     masked out by callers).  ``excl_mask[i, k]`` is True when (i, nbr[i,k]) is
     an excluded pair.
+
+    With ``track_birth`` (ParticlePairScaling, nonbonded func 14) each slot
+    carries the step its pair first entered the list: pairs found in the
+    previous list inherit their birth step, new pairs start at ``step``.
     """
     n_pad = pos.shape[0]
     buckets, ci, overflow = build_cell_buckets(pos, box, active, dims, cell_cap)
@@ -155,11 +161,26 @@ def build_neighbor_state(pos, box, active, excl_pairs, rc_skin, *, dims, cell_ca
     excl_rows, excl_overflow = build_exclusion_rows(excl_pairs, n_pad, excl_cap)
     excl_mask = jnp.any(nbr[:, :, None] == excl_rows[:, None, :], axis=-1)
 
+    if track_birth:
+        now = jnp.asarray(0 if step is None else step, I32)
+        birth = jnp.full(nbr.shape, now, I32)
+        if prev is not None:
+            # inherit birth steps for pairs that persisted across the rebuild
+            match = nbr[:, :, None] == prev.idx[:, None, :]     # (N, K, Kold)
+            had = jnp.any(match, axis=-1)
+            old_birth = jnp.min(
+                jnp.where(match, prev.birth[:, None, :], jnp.iinfo(I32).max),
+                axis=-1).astype(I32)
+            birth = jnp.where(had, old_birth, birth)
+    else:
+        birth = jnp.zeros((1, 1), I32)
+
     return NeighborState(
         idx=nbr,
         excl_mask=excl_mask,
         ref_pos=pos,
         buckets=buckets,
+        birth=birth,
         overflow=overflow | nbr_overflow | excl_overflow,
         n_rebuilds=jnp.asarray(1, I32),
     )

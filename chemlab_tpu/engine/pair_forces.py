@@ -51,7 +51,8 @@ def resolve_pair_tables(spec: SimSpec, obs_x, n_mix_entries: int):
 
 
 def pair_forces(spec: SimSpec, n_types: int, pos, box, type_id, q, lam, nbr_idx,
-                excl_mask, tab_a, tab_b, mix_x, cfg=None):
+                excl_mask, tab_a, tab_b, mix_x, cfg=None, pps_step=None,
+                pps_birth=None):
     """Compute nonbonded forces and energies over neighbor rows.
 
     Returns (force (N,3), energies dict). Energies are per-kind sums
@@ -123,6 +124,16 @@ def pair_forces(spec: SimSpec, n_types: int, pos, box, type_id, q, lam, nbr_idx,
         w = jnp.where(spec.pair_lam_scale[p], lam[:, None] * lam[j], 1.0)
         e_lj, f_lj = e_lj * w, f_lj * w
         e_tab, f_tab = e_tab * w, f_tab * w
+
+    # ---- ParticlePairScaling fade-in (func 14): new neighbor pairs ramp
+    #      from 0 to 1 by pps_incr per step since the pair first appeared ----
+    if cfg is not None and cfg.has_pps and pps_step is not None:
+        incr = spec.pair_pps_incr[p]
+        age = (pps_step - pps_birth).astype(jnp.float32)
+        ramp = jnp.clip(age * incr, 0.0, 1.0)
+        w14 = jnp.where(incr > 0.0, ramp, 1.0)
+        e_tab, f_tab = e_tab * w14, f_tab * w14
+        e_lj, f_lj = e_lj * w14, f_lj * w14
 
     # ---- per-pair force cap ----
     f_nb = f_lj + f_tab

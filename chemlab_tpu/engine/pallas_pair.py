@@ -42,6 +42,7 @@ def supports(cfg, spec_np) -> bool:
     if ((spec_np["pair_caprad"] > 0).any()
             or spec_np["pair_lam_scale"].any()
             or (spec_np["pair_mix_mode"] != 0).any()
+            or (spec_np["pair_pps_incr"] > 0).any()
             or (spec_np["pair_mix_x"][kinds == PAIR_TAB] != 1.0).any()):
         return False
     return True

@@ -712,7 +712,9 @@ def reaction_step(spec: SimSpec, cfg: EngineConfig, state: MDState,
     nbr = neighbor.build_neighbor_state(
         state.pos, state.box, state.active, state.excl, rc_skin,
         dims=cfg.cell_dims, cell_cap=cfg.cell_cap,
-        max_neighbors=cfg.max_neighbors, excl_cap=cfg.excl_cap)
+        max_neighbors=cfg.max_neighbors, excl_cap=cfg.excl_cap,
+        track_birth=cfg.has_pps, prev=state.nbr if cfg.has_pps else None,
+        step=state.step)
     nbr = dataclasses.replace(nbr, n_rebuilds=state.nbr.n_rebuilds + 1,
                               overflow=state.nbr.overflow | nbr.overflow)
     return dataclasses.replace(state, nbr=nbr)

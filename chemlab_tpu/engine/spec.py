@@ -86,6 +86,7 @@ class EngineConfig:
     has_lj: bool              # any LJ type pair
     has_tabulated: bool       # any tabulated type pair
     has_caps: bool            # any caprad / per-pair max_force
+    has_pps: bool             # any func-14 ParticlePairScaling ramp
     has_lambda_pairs: bool    # any dynamic-resolution nonbonded
     use_thermal_group: bool
     nb_bins: int
@@ -143,6 +144,7 @@ class SimSpec:
     pair_obs: jnp.ndarray         # int32 observable id
     pair_lam_scale: jnp.ndarray   # bool: scale by lam_i * lam_j
     pair_max_force: jnp.ndarray   # per-pair force cap, <=0 none
+    pair_pps_incr: jnp.ndarray    # func 14 per-step pair-scale increment, 0=off
     qq_prefactor: jnp.ndarray
     qq_cutoff2: jnp.ndarray
 
