@@ -146,14 +146,14 @@ def build_neighbor_state(pos, box, active, excl_pairs, rc_skin, *, dims, cell_ca
     valid &= active[cand_safe] & active[:, None]
 
     # order-preserving compaction: any K in-range candidates serve as the
-    # neighbor row (no nearest-K needed), so a cumsum pack replaces the
-    # far costlier top_k sort over all stencil candidates
+    # neighbor row (no nearest-K needed), so a cumsum pack + flat 1-D
+    # scatter replaces the far costlier top_k sort over all candidates
     rank = jnp.cumsum(valid.astype(I32), axis=1) - 1
     dest = jnp.where(valid & (rank < max_neighbors), rank, max_neighbors)
-    nbr = jnp.full((n_pad, max_neighbors + 1), -1, I32)
-    rows = jnp.broadcast_to(self_idx[:, None], cand.shape)
-    nbr = nbr.at[rows, dest].set(cand_safe, mode="drop")
-    nbr = nbr[:, :max_neighbors]
+    flat_dest = (self_idx[:, None] * (max_neighbors + 1) + dest).reshape(-1)
+    flat = jnp.full(n_pad * (max_neighbors + 1), -1, I32)
+    flat = flat.at[flat_dest].set(cand_safe.reshape(-1), mode="drop")
+    nbr = flat.reshape(n_pad, max_neighbors + 1)[:, :max_neighbors]
     nbr = jnp.where(nbr >= 0, nbr, self_idx[:, None])
     nbr_overflow = jnp.max(rank[:, -1]) + 1 > max_neighbors
 
