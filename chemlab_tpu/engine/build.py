@@ -62,6 +62,8 @@ class SimOptions:
     thermal_groups: tuple = ()
     rng_seed: int = 12345
     gen_velocity: bool = False
+    mass_factor: float = 1.0        # amu conversion in the velocity draw
+                                    # (ref: start_simulation.py:139-146)
     t_hybrid_bond: int = 0
     exclude_new_bonds: bool = True
     table_dirs: tuple = (".",)
@@ -768,8 +770,9 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
 
     if opts.gen_velocity and coords.vel is None:
         rng = np.random.RandomState(opts.rng_seed)
-        v = rng.normal(size=(n_real, 3)) * np.sqrt(opts.kT / systop.masses)[:, None]
-        v -= np.average(v, axis=0, weights=systop.masses)
+        m_eff = systop.masses * opts.mass_factor
+        v = rng.normal(size=(n_real, 3)) * np.sqrt(opts.kT / m_eff)[:, None]
+        v -= np.average(v, axis=0, weights=m_eff)
         vel[:n_real] = v
 
     # ---- stacks ----

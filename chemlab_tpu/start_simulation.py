@@ -111,6 +111,7 @@ def build_sim_options(args, table_dirs):
         thermal_groups=tuple((args.thermal_groups or "").split(",")) if args.thermal_groups else (),
         rng_seed=args.rng_seed,
         gen_velocity=args.gen_velocity,
+        mass_factor=args.mass_factor,
         t_hybrid_bond=args.t_hybrid_bond,
         exclude_new_bonds=not args.do_not_exclude_bonds,
         table_dirs=table_dirs,
@@ -175,6 +176,9 @@ def main(argv=None):
 
     coords = files_io.read_coordinates(args.conf)
     print("Reads %d particles" % coords.n_atoms)
+    vol = float(np.prod(coords.box))
+    print("Density: %s kg/m^3" % (systop.masses.sum() * args.mass_factor / vol))
+    print("Box: %s nm" % coords.box)
 
     rcfg = None
     if args.reactions:
