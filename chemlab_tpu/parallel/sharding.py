@@ -9,10 +9,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
-def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+def make_mesh(n_devices: int | None = None, devices=None,
+              node_grid=None) -> Mesh:
     """A 1-D mesh over the particle axis (the reference's node grid is 3-D
     over space; a 1-D row shard is the natural XLA layout since spatial
-    locality is re-established by the cell sort each rebuild)."""
+    locality is re-established by the cell sort each rebuild).
+
+    ``node_grid`` accepts the reference's ``x,y,z`` process-grid flag and
+    flattens it: GSPMD row sharding is grid-shape agnostic, so the product
+    simply selects the device count (ref: start_simulation.py:152-157).
+    """
+    if node_grid is not None:
+        if isinstance(node_grid, str):
+            node_grid = tuple(int(x) for x in node_grid.split(","))
+        n_devices = int(np.prod(node_grid))
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
