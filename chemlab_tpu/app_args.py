@@ -84,6 +84,8 @@ def build_parser() -> ParamsArgumentParser:
     g.add_argument("--do_not_exclude_bonds", default=False, type=_bool)
     g.add_argument("--hooks", default=None,
                    help="Path to hooks.py (defaults to ./hooks.py if present)")
+    g.add_argument("--profile_dir", default=None,
+                   help="Write a jax profiler trace of the main loop here")
 
     s = p.add_argument_group("Simulation parameters")
     s.add_argument("--kb", type=float, default=0.0083144621,

@@ -119,6 +119,43 @@ def build_sim_options(args, table_dirs):
     )
 
 
+def check_topology(state, verbose=True):
+    """Host-side topology consistency validation (--check_topology; the
+    reference elevates the TopologyManager logger, ref: :74-75).
+
+    Returns a list of problem strings (empty = consistent).
+    """
+    problems = []
+    idx = np.asarray(state.bonds.idx)
+    valid = idx[:, 0] >= 0
+    adj = np.asarray(state.adj)
+    # every valid bond must appear in the adjacency, both directions
+    for i, j in idx[valid]:
+        if j not in adj[i] or i not in adj[j]:
+            problems.append("bond (%d,%d) missing from adjacency" % (i, j))
+    # adjacency edge count matches 2x bond count
+    n_adj = int((adj >= 0).sum())
+    n_bonds = int(valid.sum())
+    if n_adj != 2 * n_bonds:
+        problems.append("adjacency has %d entries for %d bonds"
+                        % (n_adj, n_bonds))
+    # no duplicate valid bonds
+    key = idx[valid].min(1).astype(np.int64) * adj.shape[0] + idx[valid].max(1)
+    if len(np.unique(key)) != n_bonds:
+        problems.append("duplicate bond rows")
+    # angles/dihedrals reference only active particles
+    act = np.asarray(state.active)
+    for name, table in (("angle", state.angles), ("dihedral", state.dihedrals)):
+        t_idx = np.asarray(table.idx)
+        t_valid = t_idx[:, 0] >= 0
+        if t_valid.any() and not act[t_idx[t_valid]].all():
+            problems.append("%s rows reference inactive particles" % name)
+    if verbose and problems:
+        for p in problems:
+            print("TOPOLOGY CHECK: %s" % p)
+    return problems
+
+
 def _bond_type_counts(state, n_types):
     """Host-side bond count per unordered type pair (stop criteria T1-T2)."""
     idx = np.asarray(state.bonds.idx)
@@ -299,6 +336,9 @@ def main(argv=None):
         raise RuntimeError("hook_before_sim returned False")
     state = ctx.state
 
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
+
     reactions_enabled = False
     conversion_reached = False
     eq_blocks_left = None
@@ -397,6 +437,12 @@ def main(argv=None):
             from . import checkpoint
             checkpoint.save_state("%s_checkpoint.npz" % out_prefix, state)
 
+        if args.check_topology:
+            problems = check_topology(state)
+            if problems:
+                raise RuntimeError("topology inconsistent at step %d: %s"
+                                   % (global_step, problems[:3]))
+
         ctx.state, ctx.step = state, global_step
         if not _call_hook(hooks, "hook_at_step", ctx, global_step):
             break
@@ -416,6 +462,9 @@ def main(argv=None):
                                                         new_rate))
 
     t_loop = time.time() - t_loop
+    if args.profile_dir:
+        jax.profiler.stop_trace()
+        print("profiler trace written to %s" % args.profile_dir)
     _call_hook(hooks, "hook_end", ctx)
     state = ctx.state
 
