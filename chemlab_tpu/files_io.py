@@ -137,8 +137,13 @@ def read_gro_native(file_name: str):
     )
 
 
-def write_gro(file_name: str, coords: Coordinates, backup: bool = True) -> None:
-    """Write a .gro file in the reference's fixed format (ref: files_io.py:216-259)."""
+def write_gro(file_name: str, coords: Coordinates, backup: bool = True,
+              append: bool = False) -> None:
+    """Write a .gro file in the reference's fixed format (ref: files_io.py:216-259).
+
+    ``append`` adds the frame to an existing trajectory file (DumpGRO append
+    mode; ref: start_simulation.py:686-696).
+    """
     out = [coords.title or "generated by chemlab_tpu", "%d" % coords.n_atoms]
     fmt = "%5d%-5s%5s%5d%8.3f%8.3f%8.3f"
     fmt_v = fmt + "%8.3f%8.3f%8.3f"
@@ -157,6 +162,10 @@ def write_gro(file_name: str, coords: Coordinates, backup: bool = True) -> None:
         else:
             out.append(fmt % fields)
     out.append("%f %f %f\n" % tuple(coords.box))
+    if append:
+        with open(file_name, "a") as f:
+            f.write("\n".join(out))
+        return
     path = prepare_path(file_name) if backup else file_name
     with open(path, "w") as f:
         f.write("\n".join(out))

@@ -392,9 +392,9 @@ def main(argv=None):
         if args.trj_flush and global_step % args.trj_flush == 0:
             h5.flush()
         if args.gro_trj_collect and global_step % args.gro_trj_collect == 0:
-            files_io.write_gro("%s_traj_%d.gro" % (out_prefix, global_step),
+            files_io.write_gro("%s_traj.gro" % out_prefix,
                                writers.state_to_coordinates(state, systop, coords),
-                               backup=False)
+                               backup=False, append=global_step > 0)
 
         # enable reactions at start_ar (ref: :735-757)
         if (cfg.has_reactions and not reactions_enabled
