@@ -241,6 +241,27 @@ def main(argv=None):
     state = runner.initial_forces(spec, cfg, built.state)
     print("Particles: %d (padded %d), types: %d, reactions: %d" % (
         cfg.n_particles, cfg.n_pad, cfg.n_types, cfg.n_reactions))
+    # type table + reaction wiring (the reference's startup echo; the
+    # captured log examples/atrp_lj/single is the style model)
+    print("Type name    type id")
+    for sym in sorted(systop.atomsym_atomtype, key=systop.atomsym_atomtype.get):
+        print("%-12s %d" % (sym, systop.atomsym_atomtype[sym]))
+    if built.reactions:
+        t2s = systop.atomtype_atomsym
+        ch = built.reactions.channels
+        for ridx, eq in built.reactions.reaction_index.items():
+            kind = ("dissociation" if ch["r_is_diss"][ridx]
+                    else "exchange" if ch["r_cnb_type"][ridx] >= 0
+                    else "normal")
+            print("Reaction_type: %s" % kind)
+            print("Setup reaction: %s(%d)-%s(%d)  [%s]" % (
+                t2s.get(int(ch["r_t1"][ridx]), "?"), ch["r_min1"][ridx],
+                t2s.get(int(ch["r_t2"][ridx]), "?"), ch["r_min2"][ridx], eq))
+            for side, nt in (("type_1", ch["r_new_type1"][ridx]),
+                             ("type_2", ch["r_new_type2"][ridx])):
+                if nt >= 0:
+                    print("Reaction %d: %s change type -> %s" % (
+                        ridx, side, t2s.get(int(nt), "?")))
 
     # remap collector indices -> engine observable ids
     def obs_id(collector_idx):
