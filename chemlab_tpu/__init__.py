@@ -17,3 +17,23 @@ Layer map (mirrors the reference's, see SURVEY.md §1):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy convenience re-exports (keeps `import chemlab_tpu` jax-free)."""
+    if name in ("read_coordinates", "read_gro", "write_gro"):
+        from . import files_io
+        return getattr(files_io, name)
+    if name == "build_system_topology":
+        from .topology import build_system_topology
+        return build_system_topology
+    if name == "parse_config":
+        from .reaction_parser import parse_config
+        return parse_config
+    if name in ("build_system", "SimOptions"):
+        from .engine import build
+        return getattr(build, name)
+    if name in ("run_block", "measure", "initial_forces"):
+        from .engine import runner
+        return getattr(runner, name)
+    raise AttributeError(name)
