@@ -558,10 +558,9 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
                     a, b = int(parts[0]) - 1, int(parts[1]) - 1
                     pairs.add((min(a, b), max(a, b)))
         restrict_rows = np.asarray(sorted(pairs), np.int64)
-        # whitelisted partners are also excluded from nonbonded interactions
-        # (ref: reaction_setup.py:125)
-        for a, b in pairs:
-            systop.exclusions.add((a + 1, b + 1))
+        # note: the reference collects these pairs into exclusions_list
+        # (reaction_setup.py:125) but never consumes it — dead code there,
+        # so whitelisted pairs stay nonbonded-interacting here too
         logger.info("restricted reactions to %d connections", len(pairs))
 
     # extra conversion observables requested by the caller (stop criteria)
@@ -914,6 +913,8 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
                if join_d else 0), 128), 1),
         n_fd=max(len(fd_defs), 1),
         has_dyn_resolution=bool(compiled and compiled.dyn_resolution),
+        restrict_scan=(int(np.bincount(restrict_rows[:, 0]).max())
+                       if restrict_rows.size else 1),
         n_rb=len(compiled.rb_rows) if compiled else 0,
         has_cpt=bool(compiled and compiled.cpt),
         cpt_interval=compiled.cpt["interval"] if compiled and compiled.cpt else 0,
@@ -930,13 +931,11 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
             mix_tab_a=jnp.asarray([m[3] for m in mix_entries], I32),
             mix_tab_b=jnp.asarray([m[4] for m in mix_entries], I32),
             mix_obs=jnp.asarray([m[5] for m in mix_entries], I32),
-            mix_default=jnp.asarray([m[6] for m in mix_entries], bool),
         )
     else:
         mix = dict(mix_pair=jnp.zeros(0, I32), mix_lo=jnp.zeros(0, F32),
                    mix_hi=jnp.zeros(0, F32), mix_tab_a=jnp.zeros(0, I32),
-                   mix_tab_b=jnp.zeros(0, I32), mix_obs=jnp.zeros(0, I32),
-                   mix_default=jnp.zeros(0, bool))
+                   mix_tab_b=jnp.zeros(0, I32), mix_obs=jnp.zeros(0, I32))
 
     spec = SimSpec(
         dt=jnp.asarray(opts.dt, F32),

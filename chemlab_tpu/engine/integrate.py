@@ -46,7 +46,8 @@ def compute_forces(spec: SimSpec, cfg: EngineConfig, state: MDState):
             state.nbr.buckets, spec.cell_stencil, spec,
             cfg.n_types, cfg.cell_cap, interpret=interpret)
         f_ex, e_lj_ex, e_tab_ex = pallas_pair.excluded_pair_correction(
-            spec, cfg.n_types, state.pos, state.box, state.type_id, state.excl)
+            spec, cfg.n_types, state.pos, state.box, state.type_id, state.excl,
+            active=state.active)
         f_pair = f_all - f_ex
         e_pair = {"lj": e_lj_all - e_lj_ex, "lj-tab": e_tab_all - e_tab_ex,
                   "coulomb": jnp.asarray(0.0, state.pos.dtype)}
@@ -152,7 +153,11 @@ def _barostat_step(spec: SimSpec, cfg: EngineConfig, state: MDState, key) -> MDS
     p_now = virial_pressure(spec, cfg, state)
     dt = spec.dt
     if cfg.barostat == "br":
-        mu = (1.0 - dt / spec.barostat_tau * (spec.pressure - p_now)) ** (1.0 / 3.0)
+        # clip the base BEFORE the fractional power: a strongly negative
+        # instantaneous pressure could make it negative -> NaN
+        base = jnp.clip(1.0 - dt / spec.barostat_tau * (spec.pressure - p_now),
+                        0.9, 1.1)
+        mu = base ** (1.0 / 3.0)
         baro_v = state.baro_v
     else:  # 'lv'
         w = jnp.maximum(spec.barostat_mass, 1e-6)

@@ -89,8 +89,6 @@ def _kernel(stencil_ref,                      # scalar prefetch (n_cells, 27)
     tj = ntype_ref[0]
 
     # minimum-image displacement tiles, (cap, cap) per axis
-    fx = jnp.zeros((cap, cap), jnp.float32)
-    e_lj = jnp.zeros((cap, cap), jnp.float32)
     dr = []
     r2 = jnp.zeros((cap, cap), jnp.float32)
     for ax in range(3):
@@ -220,7 +218,6 @@ def pltpu_grid(n_cells, cap, spec, stencil):
     def rep3(i, j, s_ref):
         return (0, 0, 0)
 
-    vmem = pltpu.ANY if False else None
     bs = pl_mod.BlockSpec
     return pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -248,12 +245,17 @@ def pltpu_grid(n_cells, cap, spec, stencil):
     )
 
 
-def excluded_pair_correction(spec, n_types, pos, box, type_id, excl):
+def excluded_pair_correction(spec, n_types, pos, box, type_id, excl,
+                             active=None):
     """Energy/force of the exclusion-list pairs, to subtract from the
     all-pairs kernel result (computed in plain XLA; the list is short)."""
     i = excl[:, 0]
     j = excl[:, 1]
     valid = (i >= 0) & (j >= 0)
+    if active is not None:
+        # the kernel never added pairs with inactive endpoints; subtracting
+        # them here would inject spurious force
+        valid &= active[jnp.maximum(i, 0)] & active[jnp.maximum(j, 0)]
     ic = jnp.maximum(i, 0)
     jc = jnp.maximum(j, 0)
     d = pos[ic] - pos[jc]

@@ -465,7 +465,11 @@ def compile_reactions(config: dict, systop: SystemTopology, bond_table_builder,
         g_params=np.stack([g[2] for g in groups]) if groups else np.zeros((0, N_BOND_PARAMS), np.float32),
         group_names=[g[0] for g in groups],
         ppnb=ppnb_arrays,
-        max_nb_level=max([p["level"] for p in ppnb_rows], default=0),
+        # BFS depth must cover RemoveNeighboursBonds levels too, or the
+        # unreachable sentinel (max_level+1) could equal an rb_level and
+        # match every bond in the system
+        max_nb_level=max([p["level"] for p in ppnb_rows]
+                         + [e["level"] for e in rb_rows], default=0),
         atrp=atrp,
         release=release,
         restrict_file=restrict_file,

@@ -98,12 +98,18 @@ def _channel_accept(spec: SimSpec, cfg: EngineConfig, state: MDState, seed,
     m &= state.reaction_active[r] & ~spec.r_is_diss[r]
 
     # distance test: hard cutoff, or per-(pair, interval) Gaussian sample
-    # (ReactionCutoffRandom; ref: reaction_setup.py:107-111)
-    dir_salt = jnp.where(t1_is_lo, 0, 1)
+    # (ReactionCutoffRandom; ref: reaction_setup.py:107-111).  A negative
+    # drawn cutoff rejects everything (squaring would lose the sign).
+    # Symmetric channels (t1 == t2) must draw ONE number per unordered pair,
+    # else the two directions double the acceptance rate.
+    symmetric = spec.r_t1[r] == spec.r_t2[r]
+    dir_salt = jnp.where(symmetric, 0, jnp.where(t1_is_lo, 0, 1))
     u1 = pair_uniform(seed, state.step, lo, hi, 4 * r + 2)
     u2 = pair_uniform(seed, state.step, lo, hi, 4 * r + 3)
     gcut = spec.r_eq[r] + spec.r_sigma[r] * _gauss_from_uniform(u1, u2)
-    cut2 = jnp.where(spec.r_sigma[r] > 0.0, gcut * gcut, spec.r_cutoff2[r])
+    cut2 = jnp.where(spec.r_sigma[r] > 0.0,
+                     jnp.where(gcut > 0.0, gcut * gcut, -1.0),
+                     spec.r_cutoff2[r])
     m &= (r2 <= cut2) & (r2 >= spec.r_min_cutoff2[r])
 
     # molecule / residue constraints
@@ -114,12 +120,13 @@ def _channel_accept(spec: SimSpec, cfg: EngineConfig, state: MDState, seed,
     m &= ~jnp.any(state.adj[a] == b[..., None], axis=-1)
 
     # RestrictReaction connectivity whitelist (ref: reaction_setup.py:115-128);
-    # binary search on lo, then a bounded scan over the (short) equal-lo run
+    # binary search on lo, then a bounded scan over the equal-lo run (the
+    # bound is the build-time maximum run length, so no pair can be missed)
     if spec.restrict_lo.shape[0]:
         mm = spec.restrict_lo.shape[0]
         pos_ = jnp.searchsorted(spec.restrict_lo, lo)
         listed = jnp.zeros_like(m)
-        for k in range(8):
+        for k in range(cfg.restrict_scan):
             pk = jnp.minimum(pos_ + k, mm - 1)
             listed |= (spec.restrict_lo[pk] == lo) & (spec.restrict_hi[pk] == hi)
         m &= listed | ~spec.r_restricted[r]
@@ -152,7 +159,11 @@ def match_reactions(spec: SimSpec, cfg: EngineConfig, state: MDState, seed):
     dr = state.pos[:, None, :] - state.pos[j]
     dr -= state.box * jnp.round(dr / state.box)
     r2 = jnp.sum(dr * dr, axis=-1)
-    slot_valid = (j != i_idx) & state.active[:, None] & state.active[j]
+    # excluded (1-2/1-3/1-4) pairs are not reaction candidates: the
+    # reference's VerletList is built with the exclusion list, so its
+    # ChemicalReaction never sees them
+    slot_valid = (j != i_idx) & state.active[:, None] & state.active[j] \
+        & ~state.nbr.excl_mask
 
     big = jnp.float32(1e30)
     rs = jnp.arange(cfg.n_reactions, dtype=I32)
@@ -470,16 +481,19 @@ def apply_reaction_events(spec: SimSpec, cfg: EngineConfig, state: MDState,
                 st = _remove_neighbour_bonds(st, valid, anchor, rr0, s_code)
         if cfg.has_fixd:
             # JoinMolecule: capture the type_2 particle as an invisible dummy
-            # constrained to the type_1 host (ref: reaction_post_process.py:322-362)
+            # constrained to the type_1 host (ref: reaction_post_process.py:322-362).
+            # Every write is gated on a free constraint slot: without one the
+            # particle must NOT become an unconstrained invisible ghost.
             do_join = valid & spec.r_join[jnp.maximum(r, 0)]
             nn = st.pos.shape[0]
-            bsel = jnp.where(do_join, jnp.maximum(b, 0), nn)
+            free = jnp.argmax(st.fixd_host < 0)
+            slot_ok = do_join & (st.fixd_host[free] < 0)
+            overflow = overflow | (do_join & ~slot_ok)
+            bsel = jnp.where(slot_ok, jnp.maximum(b, 0), nn)
             tid = st.type_id.at[bsel].set(jnp.maximum(spec.j_dummy_type, 0),
                                           mode="drop")
             lam2 = st.lam.at[bsel].set(spec.j_init_res, mode="drop")
             chem2 = st.chem_state.at[bsel].set(spec.j_state, mode="drop")
-            free = jnp.argmax(st.fixd_host < 0)
-            slot_ok = do_join & (st.fixd_host[free] < 0)
             fh = st.fixd_host.at[jnp.where(slot_ok, free, st.fixd_host.shape[0])
                                  ].set(jnp.maximum(a, 0), mode="drop")
             fd = st.fixd_dummy.at[jnp.where(slot_ok, free, st.fixd_dummy.shape[0])
@@ -682,8 +696,33 @@ def freeze_region_step(spec: SimSpec, cfg: EngineConfig,
     vel = jnp.where(pinned[:, None], 0.0, state.vel)
     force = jnp.where(pinned[:, None], 0.0, state.force)
     active = state.active & ~(hit & spec.fr_remove)
-    return dataclasses.replace(state, key=key, type_id=type_id, vel=vel,
-                               force=force, active=active)
+    state = dataclasses.replace(state, key=key, type_id=type_id, vel=vel,
+                                force=force, active=active)
+
+    # removal cleanup: dead particles must not keep exerting bonded forces
+    # or occupy topology structures
+    def cleanup(st):
+        dead = ~st.active
+
+        def scrub(table):
+            t_idx = table.idx
+            bad = jnp.any(jnp.where(t_idx >= 0,
+                                    dead[jnp.maximum(t_idx, 0)], False), -1)
+            return dataclasses.replace(
+                table, idx=jnp.where(bad[:, None], -1, t_idx))
+
+        adj = st.adj
+        adj = jnp.where((adj >= 0) & dead[jnp.maximum(adj, 0)], -1, adj)
+        adj = jnp.where(dead[:, None], -1, adj)
+        e = st.excl
+        bad_e = jnp.any(jnp.where(e >= 0, dead[jnp.maximum(e, 0)], False), -1)
+        return dataclasses.replace(
+            st, bonds=scrub(st.bonds), angles=scrub(st.angles),
+            dihedrals=scrub(st.dihedrals), adj=adj,
+            excl=jnp.where(bad_e[:, None], -1, e))
+
+    return jax.lax.cond(jnp.any(hit & spec.fr_remove), cleanup,
+                        lambda s: s, state)
 
 
 # ---------------------------------------------------------------------------
@@ -696,8 +735,8 @@ def reaction_step(spec: SimSpec, cfg: EngineConfig, state: MDState,
     seed = jnp.asarray(rng_seed, jnp.uint32)
 
     ev_valid, ev_a, ev_b, ev_r = match_reactions(spec, cfg, state, seed)
-    state, _overflow = apply_reaction_events(spec, cfg, state,
-                                             ev_valid, ev_a, ev_b, ev_r)
+    state, topo_overflow = apply_reaction_events(spec, cfg, state,
+                                                 ev_valid, ev_a, ev_b, ev_r)
 
     if cfg.has_dissociation:
         dv, drow, dr = match_dissociations(spec, cfg, state, seed)
@@ -715,6 +754,7 @@ def reaction_step(spec: SimSpec, cfg: EngineConfig, state: MDState,
         max_neighbors=cfg.max_neighbors, excl_cap=cfg.excl_cap,
         track_birth=cfg.has_pps, prev=state.nbr if cfg.has_pps else None,
         step=state.step)
-    nbr = dataclasses.replace(nbr, n_rebuilds=state.nbr.n_rebuilds + 1,
-                              overflow=state.nbr.overflow | nbr.overflow)
+    nbr = dataclasses.replace(
+        nbr, n_rebuilds=state.nbr.n_rebuilds + 1,
+        overflow=state.nbr.overflow | nbr.overflow | topo_overflow)
     return dataclasses.replace(state, nbr=nbr)

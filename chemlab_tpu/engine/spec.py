@@ -101,6 +101,7 @@ class EngineConfig:
     fixd_cap: int             # constraint table capacity
     n_fd: int                 # FixDistances definition count
     has_dyn_resolution: bool  # any per-type lambda ramp active
+    restrict_scan: int        # max whitelist entries sharing a lo index
     n_rb: int                 # RemoveNeighboursBonds entry count
     has_cpt: bool             # ChangeParticleType extension active
     cpt_interval: int
@@ -155,7 +156,6 @@ class SimSpec:
     mix_tab_a: jnp.ndarray
     mix_tab_b: jnp.ndarray    # == tab_a for func 9
     mix_obs: jnp.ndarray
-    mix_default: jnp.ndarray  # bool: func-9 default table flag
 
     # -- cell stencil for the pallas pair kernel --
     cell_stencil: jnp.ndarray     # (n_cells, S) int32 neighbor cell ids

@@ -89,7 +89,7 @@ def merge_molecules(mol_id, i, j, enable=True):
     return jnp.where(valid & (mol_id == hi), lo, mol_id)
 
 
-def relabel_components(adj, active, max_iters: int = 64):
+def relabel_components(adj, active):
     """Connected components by min-label propagation with pointer jumping.
 
     Labels are particle rows, so ``label[label[i]]`` is path compression;

@@ -75,5 +75,3 @@ def test_restricted_to_whitelist(tmp_path):
     new_rows = np.asarray(st2.bonds.group) >= 0
     idx = np.asarray(st2.bonds.idx)[new_rows & np.asarray(st2.bonds.valid)]
     assert sorted(idx.tolist()[0]) == [0, 5]
-    # whitelisted pairs also became exclusions
-    assert (1, 6) in systop2.exclusions
