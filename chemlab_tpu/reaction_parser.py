@@ -43,7 +43,10 @@ def _bool(value, default=False):
 
 
 def _reactant(text: str) -> dict:
-    m = _RE_REACTANT.match(text.strip())
+    # fullmatch: a prefix match would let one grammar silently accept a
+    # malformed/other-grammar equation (e.g. dissociation consuming an
+    # exchange LHS)
+    m = _RE_REACTANT.fullmatch(text.strip())
     if m is None:
         raise ValueError("cannot parse reactant %r" % text)
     d = m.groupdict()
@@ -53,7 +56,7 @@ def _reactant(text: str) -> dict:
 
 
 def _product(text: str) -> dict:
-    m = _RE_PRODUCT.match(text.strip())
+    m = _RE_PRODUCT.fullmatch(text.strip())
     if m is None:
         raise ValueError("cannot parse product %r" % text)
     d = m.groupdict()
@@ -122,6 +125,7 @@ def process_reaction(items) -> tuple:
     for parser in (parse_equation, parse_reverse_equation, parse_exchange_equation):
         try:
             reactant_list, reaction_type = parser(cfg["reaction"])
+            break
         except (ValueError, IndexError):
             continue
     if reaction_type is None:
@@ -195,7 +199,10 @@ def parse_config(input_file: str) -> dict:
     sections may appear anywhere before their group.
     """
     parser = configparser.ConfigParser(strict=False, inline_comment_prefixes=("#", ";"))
-    parser.read(input_file)
+    # ConfigParser.read() silently ignores missing files; a typo'd path must
+    # fail loudly, not surface later as an empty-config TypeError
+    with open(input_file) as f:
+        parser.read_file(f)
     return _process_parsed_config(parser)
 
 

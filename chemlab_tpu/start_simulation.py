@@ -346,10 +346,17 @@ def main(argv=None):
                                      np.asarray(st.dihedrals.idx))
 
     # ---- main loop (ref: start_simulation.py:728-797) ----
+    # the block size must divide every collection interval, or frames would
+    # silently stretch/skip (the reference clamps int_step to trj_collect
+    # the same way, ref :102, :266-270)
     integrator_step = args.int_step
     if cfg.has_reactions:
         integrator_step = min(integrator_step, cfg.reaction_interval)
-    sim_steps = max(args.run // integrator_step, 1)
+    for iv in (args.trj_collect, args.topol_collect, args.energy_collect,
+               args.trj_flush, args.gro_trj_collect):
+        if iv:
+            integrator_step = min(integrator_step, iv)
+    sim_steps = args.run // integrator_step
     print("Running %d blocks x %d steps" % (sim_steps, integrator_step))
 
     ctx.state = state
@@ -361,8 +368,10 @@ def main(argv=None):
         jax.profiler.start_trace(args.profile_dir)
 
     reactions_enabled = False
+    reactions_started = False   # one-shot latch: start_ar fires exactly once
     conversion_reached = False
     eq_blocks_left = None
+    need_bond_counts = any(c.kind == "bond_count" for c in criteria)
     t_loop = time.time()
     k = 0
     global_step = int(state.step)   # nonzero when resuming from a checkpoint
@@ -417,8 +426,8 @@ def main(argv=None):
                                writers.state_to_coordinates(state, systop, coords),
                                backup=False, append=global_step > 0)
 
-        # enable reactions at start_ar (ref: :735-757)
-        if (cfg.has_reactions and not reactions_enabled
+        # enable reactions at start_ar, exactly once (ref: :735-757)
+        if (cfg.has_reactions and not reactions_started
                 and global_step >= args.start_ar):
             if args.save_before_reaction:
                 files_io.write_gro("%s_before_reaction.gro" % out_prefix,
@@ -428,6 +437,7 @@ def main(argv=None):
             if not _call_hook(hooks, "hook_init_reaction", ctx):
                 raise RuntimeError("hook_init_reaction returned False")
             state = ctx.state
+            reactions_started = True
             reactions_enabled = True
             print("Chemical reactions enabled at step %d" % global_step)
         if (cfg.has_reactions and reactions_enabled and args.stop_ar >= 0
@@ -435,10 +445,12 @@ def main(argv=None):
             state = dataclasses.replace(state, reactions_on=jnp.asarray(False))
             reactions_enabled = False
 
-        # stop criteria (ref: :759-770)
-        if criteria and not conversion_reached:
-            if tools.criteria_reached(criteria, conv,
-                                      _bond_type_counts(state, cfg.n_types)):
+        # stop criteria: ANY satisfied criterion stops, checked only once
+        # reactions run (ref: :759-770)
+        if criteria and reactions_enabled and not conversion_reached:
+            bond_counts = (_bond_type_counts(state, cfg.n_types)
+                           if need_bond_counts else {})
+            if tools.criteria_reached(criteria, conv, bond_counts):
                 conversion_reached = True
                 eq_blocks_left = args.eq_steps
                 state = dataclasses.replace(state,

@@ -6,8 +6,9 @@ Behavioral port of src/tools.py (ref: tools.py:102-180 grammar):
   ``T1+T2+...:max:total``                         — summed multi-type conversion
   ``T1-T2:max:total``                             — bond count of a reaction
                                                     group pair list
-Criteria are comma-separated; a run stops when ALL criteria are reached
-(the reference requires every observable to pass; start_simulation.py:759-770).
+Criteria are comma-separated; a run stops as soon as ANY criterion is
+reached (ref: start_simulation.py:759-770 sets stop_simulation when any
+observable passes its stop value).
 """
 
 from __future__ import annotations
@@ -59,15 +60,16 @@ def parse_maximum_conversion(expr: str, systop, obs_registry):
 
 
 def criteria_reached(criteria, conversions, bond_type_counts) -> bool:
-    """True when every criterion is satisfied."""
+    """True as soon as ANY criterion is satisfied (reference semantics)."""
     for c in criteria:
         if c.kind == "conversion":
-            if float(conversions[c.obs_idx]) < c.stop_value:
-                return False
+            if float(conversions[c.obs_idx]) >= c.stop_value:
+                return True
         else:
-            if float(bond_type_counts.get(tuple(sorted(c.type_pair)), 0)) < c.stop_value:
-                return False
-    return True
+            if float(bond_type_counts.get(tuple(sorted(c.type_pair)), 0)) \
+                    >= c.stop_value:
+                return True
+    return False
 
 
 def parse_count_types(expr: str, systop):

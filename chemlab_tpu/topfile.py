@@ -385,6 +385,7 @@ def write_topology_file(file_name: str, top: TopologyFile, backup: bool = True) 
             ("bonds", mol.bonds),
             ("angles", mol.angles),
             ("dihedrals", mol.dihedrals),
+            ("dihedrals", mol.improper_dihedrals),   # second [dihedrals] block
             ("pairs", mol.pairs),
         ):
             if data:

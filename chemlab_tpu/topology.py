@@ -224,6 +224,7 @@ def compile_system_topology(top: topfile.TopologyFile,
     exclusions: set = set()
 
     offset = 0
+    mol_counter = 0
     for mol_name, n_mols in top.molecules:
         mol = top.molecule_defs[mol_name]
         local_ids = sorted(mol.atoms)
@@ -253,9 +254,11 @@ def compile_system_topology(top: topfile.TopologyFile,
                 atom_names.append(nm)
                 chain_names.append(cn)
                 molecule_names.append(mol_name)
-        # residue index: one residue per molecule copy (overridden by .gro at runtime)
-        for mol_copy in range(n_mols):
-            chain_idx.extend([offset // max(n_at, 1) + mol_copy + 1] * n_at)
+        # residue index: one residue per molecule copy, counted globally
+        # across molecule types (overridden by .gro at runtime)
+        for _ in range(n_mols):
+            mol_counter += 1
+            chain_idx.extend([mol_counter] * n_at)
 
         bonds.update(_replicate(mol.bonds, n_mols, n_at, offset))
         angles.update(_replicate(mol.angles, n_mols, n_at, offset))
