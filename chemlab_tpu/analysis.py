@@ -62,7 +62,9 @@ def molecule_statistics(h5, frame=-1, names=None):
     weight-average (DPw) degrees of polymerization.
     """
     conn = h5["connectivity"]
-    names = names or list(conn.keys())
+    # only pair lists define molecule connectivity (skip angles_0/dihedrals_0)
+    names = names or [k for k in conn.keys()
+                      if conn[k]["value"].shape[-1] == 2]
     parent = {}
 
     def find(x):

@@ -67,10 +67,14 @@ def parse_gro(text: bytes):
     lib = _load()
     if lib is None:
         return None
-    # upper bound on atom count from the count line
-    nl1 = text.index(b"\n")
-    nl2 = text.index(b"\n", nl1 + 1)
-    cap = int(text[nl1:nl2].split()[0])
+    # upper bound on atom count from the count line; malformed/truncated
+    # input returns None so callers fall back to the Python parser's errors
+    try:
+        nl1 = text.index(b"\n")
+        nl2 = text.index(b"\n", nl1 + 1)
+        cap = int(text[nl1:nl2].split()[0])
+    except (ValueError, IndexError):
+        return None
     n = ctypes.c_int64(cap)
     pos = np.zeros((cap, 3), np.float64)
     vel = np.zeros((cap, 3), np.float64)

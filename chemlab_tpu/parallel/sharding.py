@@ -26,6 +26,11 @@ def make_mesh(n_devices: int | None = None, devices=None,
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
+            if n_devices > len(devices):
+                # the reference errors when node grid != world size
+                # (ref: start_simulation.py:152-157)
+                raise ValueError("requested %d devices, only %d available"
+                                 % (n_devices, len(devices)))
             devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 

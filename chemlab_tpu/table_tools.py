@@ -24,10 +24,17 @@ from . import files_io
 def convert(in_file: str, out_file: str | None = None, sigma: float = 1.0,
             epsilon: float = 1.0, c6: float = 1.0, c12: float = 1.0) -> str:
     r, e, f, kind = files_io.read_table(in_file, c6=c6, c12=c12)
-    r = r / sigma
+    if kind in ("bond", "nonbonded"):
+        # sigma scales distances only — angle/dihedral grids are radians
+        # (ref: tools/convert_gromacs2espp.py:73-79)
+        r = r / sigma
+        f = f * sigma
     e = e / epsilon
-    f = f * sigma / epsilon
+    f = f / epsilon
     out_file = out_file or in_file.replace(".xvg", ".pot")
+    if out_file == in_file:
+        raise ValueError("output would overwrite the input %s — pass an "
+                         "explicit out_file" % in_file)
     with open(out_file, "w") as out:
         for ri, ei, fi in zip(r, e, f):
             out.write("%15.8g %15.8g %15.8g\n" % (ri, ei, fi))

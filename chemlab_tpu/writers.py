@@ -55,7 +55,6 @@ class H5MDWriter:
         boxg.create_dataset("edges", data=np.asarray(box, np.float64))
 
         self._series = {}
-        self._conn = {}
         self.f.create_group("parameters")
         self.f.create_group("connectivity")
 
@@ -96,22 +95,16 @@ class H5MDWriter:
         for name, (val, dtype, shape) in fields.items():
             if val is None:
                 continue
+            if self.store and name not in self.store and name != "image":
+                continue
             g = self._get_series(self.atoms, name, shape, dtype)
             self._append(g, step, t, np.asarray(val)[: self.n])
 
     def dump_connectivity(self, name, step, t, table):
         """Append a fixed-shape -1-padded index table under /connectivity."""
         table = np.asarray(table, np.int32)
-        g = self.f["connectivity"]
-        key = ("/connectivity", name)
-        if key not in self._conn:
-            gg = g.create_group(name)
-            gg.create_dataset("step", shape=(0,), maxshape=(None,), dtype="i8")
-            gg.create_dataset("time", shape=(0,), maxshape=(None,), dtype="f8")
-            gg.create_dataset("value", shape=(0,) + table.shape,
-                              maxshape=(None,) + table.shape, dtype="i4")
-            self._conn[key] = gg
-        self._append(self._conn[key], step, t, table)
+        g = self._get_series(self.f["connectivity"], name, table.shape, "i4")
+        self._append(g, step, t, table)
 
     def write_parameters(self, args_namespace=None, force_field=None):
         """/parameters attrs + /parameters/force_field/atomtypes
@@ -182,6 +175,11 @@ def state_to_coordinates(state, systop, coords_in, unfolded=False):
                       box=np.asarray(state.box))
 
 
+def _system_nrexcl(systop) -> int:
+    vals = [mol.nrexcl for mol in systop.top.molecule_defs.values()]
+    return max(vals) if vals else 3
+
+
 def write_topology(path, systop, state, group_names=(), backup=True):
     """Regenerate an output .top from live state: current types/charges/masses,
     all bonds (static + reaction-created), angles, dihedrals
@@ -207,7 +205,24 @@ def write_topology(path, systop, state, group_names=(), backup=True):
         lines.append("%s %s %s A %s %s\n" % (
             sym, rec.get("mass", 1.0), rec.get("charge", 0.0),
             rec.get("sigma", 1.0), rec.get("epsilon", 0.0)))
-    lines.append("\n[ moleculetype ]\nMOL 3\n\n[ atoms ]\n")
+    # carry bonded type tables so type-looked-up params survive a reload
+    if systop.top.bondtypes:
+        lines.append("\n[ bondtypes ]\n")
+        for key, rec in systop.top.bondtypes.items():
+            lines.append("%s %d %s\n" % (" ".join(key), rec["func"],
+                                         " ".join(map(str, rec["params"]))))
+    if systop.top.angletypes:
+        lines.append("\n[ angletypes ]\n")
+        for key, rec in systop.top.angletypes.items():
+            lines.append("%s %d %s\n" % (" ".join(key), rec["func"],
+                                         " ".join(map(str, rec["params"]))))
+    if systop.top.dihedraltypes:
+        lines.append("\n[ dihedraltypes ]\n")
+        for key, rec in systop.top.dihedraltypes.items():
+            lines.append("%s %d %s\n" % (" ".join(key), rec["func"],
+                                         " ".join(map(str, rec["params"]))))
+    lines.append("\n[ moleculetype ]\nMOL %d\n\n[ atoms ]\n"
+                 % _system_nrexcl(systop))
     for i in range(n):
         sym = systop.atomtype_atomsym.get(int(tid[i]), "X")
         name = systop.atom_names[i] if i < len(systop.atom_names) else sym
