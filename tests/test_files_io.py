@@ -102,3 +102,18 @@ def test_convert_table_writes_pot(tmp_path):
     assert os.path.exists(pot)
     r, e, f, _ = files_io.read_table(pot)
     assert len(r) == 10
+
+
+def test_criteria_any_semantics():
+    """A run stops when ANY criterion is reached (ref: :759-770)."""
+    from chemlab_tpu import tools
+
+    c1 = tools.StopCriterion(kind="conversion", stop_value=0.5, obs_idx=0)
+    c2 = tools.StopCriterion(kind="bond_count", stop_value=10,
+                             type_pair=(1, 2))
+    # neither reached
+    assert not tools.criteria_reached([c1, c2], [0.1], {(1, 2): 3})
+    # only the conversion reached -> stop
+    assert tools.criteria_reached([c1, c2], [0.6], {(1, 2): 3})
+    # only the bond count reached -> stop
+    assert tools.criteria_reached([c1, c2], [0.1], {(1, 2): 12})
