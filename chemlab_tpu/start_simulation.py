@@ -515,6 +515,15 @@ def main(argv=None):
                                                     unfolded=True))
     writers.write_topology("%s_topol.top" % out_prefix, systop, state)
 
+    if cfg.has_atrp:
+        # ATRPActivator stats file (ref: reaction_post_process.py:390-396)
+        stats = np.asarray(state.atrp_stats)
+        ratios = np.asarray(state.atrp_ratios)
+        with open("%s_atrp_stats.dat" % out_prefix, "w") as f:
+            f.write("activated %d\ndeactivated %d\n"
+                    "ratio_activator %g\nratio_deactivator %g\n"
+                    % (stats[0], stats[1], ratios[0], ratios[1]))
+
     if cfg.has_reactions:
         with open("%s_reaction_counters.csv" % out_prefix, "w") as f:
             counts = np.asarray(state.reaction_counts)

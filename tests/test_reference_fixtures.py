@@ -58,3 +58,12 @@ def test_reference_exchange_equation():
     assert rl["type_2"]["delta"] == 1
     assert rl["type_3"]["name"] == "W" and rl["type_3"]["new_type"] == "Z"
     assert rl["type_3"]["delta"] == 1
+
+
+def test_malformed_exchange_not_misparsed_as_dissociation():
+    """A broken exchange equation must error, not silently register as a
+    dissociation (prefix-match hazard in the grammar-trial loop)."""
+    bad = "A(1,1):B(1,1) + C(1,1) -> A1(0) + B1(0)"
+    with pytest.raises(ValueError):
+        reaction_parser.process_reaction([("reaction", bad), ("rate", "1.0"),
+                                          ("cutoff", "1.0")])
