@@ -185,7 +185,7 @@ def compile_reactions(config: dict, systop: SystemTopology, bond_table_builder,
             entries.append((
                 name2type[reac["name"]],
                 int(reac["state"]),
-                reac["flag"] == "DA",
+                reac["flag"] == "A",   # A = activation, DA = deactivation
                 name2type[prod["new_type"]],
                 int(prod["delta"]),
             ))

@@ -1,0 +1,119 @@
+"""ChangeParticleType and ATRPActivator extension semantics."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chemlab_tpu import reaction_parser, testsystems, topfile
+from chemlab_tpu.engine import build, reactions, runner
+from chemlab_tpu.topology import compile_system_topology
+
+CPT_CFG = """
+[general]
+interval: 50
+
+[ext_flip]
+ext_type=ChangeParticleType
+interval=10
+num_particles=5
+type_id=0
+new_type_id=2
+
+[group_g1]
+potential=Harmonic
+potential_options=K=30.0,r0=0.97
+extensions=flip
+
+[reaction_a]
+reaction: FA(3, 4) + MA(1, 2) -> FA(1):DA(2)
+cutoff: 1.2
+rate: 0.0
+active: True
+group: g1
+"""
+
+
+def test_change_particle_type():
+    top = topfile.parse_lines(
+        testsystems._melt_topology_text(60).splitlines(), "<g>")
+    systop = compile_system_topology(top)
+    coords = testsystems.melt_coordinates(60, 0.3, seed=6)
+    rcfg = reaction_parser.parse_config_lines(CPT_CFG.splitlines())
+    opts = build.SimOptions(lj_cutoff=2.5, cg_cutoff=2.5, dt=0.0025, kT=1.0,
+                            gen_velocity=True, rng_seed=6)
+    built = build.build_system(systop, coords, opts, reaction_config=rcfg)
+    assert built.cfg.has_cpt and built.cfg.cpt_interval == 10
+    st = runner.initial_forces(built.spec, built.cfg, built.state)
+    st = dataclasses.replace(st, reactions_on=jnp.asarray(True))
+    n_ma0 = int(((np.asarray(st.type_id) == 0) & np.asarray(st.active)).sum())
+    st2 = reactions.change_particle_type_step(built.spec, built.cfg, st)
+    tid = np.asarray(st2.type_id)
+    act = np.asarray(st2.active)
+    flipped = n_ma0 - int(((tid == 0) & act).sum())
+    assert flipped == 5
+    assert int(((tid == 2) & act).sum()) == 5
+    # under the runner, flips accumulate every cpt_interval steps
+    st3 = runner.run_block(built.spec, built.cfg, st, 30)
+    tid3 = np.asarray(st3.type_id)
+    assert int(((tid3 == 2) & np.asarray(st3.active)).sum()) >= 10
+
+
+def test_atrp_activator_flips_states():
+    built, systop, _ = testsystems.build_melt(n_mols=80, reactive=True)
+    # reuse the melt's ATRP-free cfg? build_melt's cfg lacks ATRP, so build
+    # a direct atrp_step exercise from the atrp_activator-style options
+    from chemlab_tpu.engine.reaction_compile import compile_reactions
+
+    cfg_text = testsystems.ATRP_CFG_TEXT.replace(
+        "[group_reaction_1]",
+        """[ext_atrp]
+ext_type=ATRPActivator
+interval=10
+num_particles=200
+ratio_activator=1.0
+ratio_deactivator=0.0
+delta_catalyst=0.001
+k_activate=1.0
+k_deactivate=0.0
+options=DA(2,A)->DA(1);FA(2,A)->FA(1)
+
+[group_reaction_1]""").replace(
+        "extensions=change_neighbour_type",
+        "extensions=change_neighbour_type,atrp")
+    import chemlab_tpu.reaction_parser as rp
+    from chemlab_tpu import topfile as tf
+    from chemlab_tpu.topology import compile_system_topology as cst
+    from chemlab_tpu.engine import build as b
+
+    top = tf.parse_lines(testsystems._melt_topology_text(80).splitlines(), "<g>")
+    systop2 = cst(top)
+    coords = testsystems.melt_coordinates(80, 0.3, seed=7)
+    rcfg = rp.parse_config_lines(cfg_text.splitlines())
+    built2 = b.build_system(systop2, coords,
+                            b.SimOptions(lj_cutoff=2.5, cg_cutoff=2.5,
+                                         dt=0.0025, kT=1.0, gen_velocity=True,
+                                         rng_seed=7),
+                            reaction_config=rcfg)
+    assert built2.cfg.has_atrp
+    st = runner.initial_forces(built2.spec, built2.cfg, built2.state)
+    # put some DA particles in state 2 (activator targets)
+    tsym = systop2.atomsym_atomtype
+    tid = np.array(st.type_id)
+    chem = np.array(st.chem_state)
+    rows = np.where((tid == tsym["MA"]) & np.asarray(st.active))[0][:30]
+    tid[rows] = tsym["DA"]
+    chem[rows] = 2
+    st = dataclasses.replace(st, type_id=jnp.asarray(tid),
+                             chem_state=jnp.asarray(chem),
+                             reactions_on=jnp.asarray(True))
+    st2 = reactions.atrp_step(built2.spec, built2.cfg, st)
+    chem2 = np.asarray(st2.chem_state)
+    stats = np.asarray(st2.atrp_stats)
+    # activator entries bump matching DA(2) states by +1
+    assert stats[0] > 0
+    assert ((chem2[rows] == 3).sum()) == stats[0]
+    # pool ratio shifted by delta_catalyst per activation
+    ratios = np.asarray(st2.atrp_ratios)
+    assert ratios[0] == pytest.approx(1.0 - 0.001 * stats[0], abs=1e-5)
