@@ -6,20 +6,16 @@ instead of instantiating engine extension objects, every reaction channel and
 post-process becomes a row in numpy arrays that the device reaction kernel
 consumes (SURVEY.md §7.1 "reaction channel table").
 
-Supported in this version:
-  - normal reactions with type/state windows, rate, hard or Gaussian cutoff,
+Everything the reference's reaction layer supports is lowered:
+  - normal reactions (type/state windows, rate, hard or Gaussian cutoff,
     min_cutoff, intramolecular/intraresidual/virtual flags, per-side type
-    changes (PostProcessChangeProperty)
-  - exchange reactions (virtual channel + neighbour-state constraint +
-    neighbour property transfer; ref: reaction_setup.py:167-255)
-  - dissociation channels (distance-triggered break + diss_rate spontaneous
-    break; type changes applied immediately — the lambda fade-in/out ramp of
-    BasicDynamicResolution is approximated by an instant switch for now)
-  - ChangeNeighboursProperty extension (topological-distance type transfer)
-  - ATRPActivator extension
-Connectivity maps (RestrictReaction), RemoveNeighboursBonds,
-Release/JoinMolecule, FreezeRegion and ChangeParticleType are not lowered yet
-and raise/warn explicitly.
+    changes), exchange reactions (virtual channel + neighbour-state
+    constraint + neighbour transfer; ref: reaction_setup.py:167-255), and
+    dissociation channels (distance-triggered + spontaneous breaks, product
+    lambda fade via BasicDynamicResolution)
+  - extensions: ChangeNeighboursProperty, RemoveNeighboursBonds,
+    ReleaseMolecule, JoinMolecule, FreezeRegion, ChangeParticleType,
+    ATRPActivator; RestrictReaction connectivity maps.
 """
 
 from __future__ import annotations
