@@ -117,3 +117,56 @@ options=DA(2,A)->DA(1);FA(2,A)->FA(1)
     # pool ratio shifted by delta_catalyst per activation
     ratios = np.asarray(st2.atrp_ratios)
     assert ratios[0] == pytest.approx(1.0 - 0.001 * stats[0], abs=1e-5)
+
+
+FREEZE_RM_CFG = """
+[general]
+interval: 100
+
+[ext_freeze]
+ext_type=FreezeRegion
+target_type=ML
+width=2.0
+directions=-x,x
+prob=1.0
+remove_particles=True
+
+[group_g1]
+potential=Harmonic
+potential_options=K=30.0,r0=0.97
+extensions=freeze
+
+[reaction_a]
+reaction: FA(3, 4) + MA(1, 2) -> FA(1):DA(2)
+cutoff: 1.2
+rate: 0.0
+active: True
+group: g1
+"""
+
+
+def test_freeze_remove_cleans_topology():
+    """Removed particles lose their bonds/angles/adjacency/exclusions."""
+    top = topfile.parse_lines(
+        testsystems._melt_topology_text(80).splitlines(), "<g>")
+    systop = compile_system_topology(top)
+    coords = testsystems.melt_coordinates(80, 0.3, seed=8)
+    rcfg = reaction_parser.parse_config_lines(FREEZE_RM_CFG.splitlines())
+    opts = build.SimOptions(lj_cutoff=2.5, cg_cutoff=2.5, dt=0.0025, kT=1.0,
+                            gen_velocity=True, rng_seed=8)
+    built = build.build_system(systop, coords, opts, reaction_config=rcfg)
+    st = runner.initial_forces(built.spec, built.cfg, built.state)
+    st = dataclasses.replace(st, reactions_on=jnp.asarray(True))
+    st2 = reactions.freeze_region_step(built.spec, built.cfg, st)
+    act = np.asarray(st2.active)
+    removed = np.asarray(st.active) & ~act
+    assert removed.sum() > 0
+    # no valid bond/angle references a removed particle
+    for table in (st2.bonds, st2.angles):
+        idx = np.asarray(table.idx)
+        valid = idx[:, 0] >= 0
+        assert not removed[idx[valid]].any()
+    # adjacency rows of removed particles are empty, and no row points at them
+    adj = np.asarray(st2.adj)
+    assert (adj[removed] == -1).all()
+    assert not removed[adj[adj >= 0]].any()
