@@ -98,13 +98,38 @@ def molecule_statistics(h5, frame=-1, names=None):
             "DPn": dpn, "DPw": dpw, "n_molecules": int(counts.sum())}
 
 
+def branching_census(h5, frame=-1, names=None):
+    """Terminal/linear/dendritic unit counts by node degree over the bond
+    graph at a frame (the hyperbranched-structure census of
+    examples/atrp_activator/analyze_structure.py, computed from connectivity
+    instead of species bookkeeping)."""
+    conn = h5["connectivity"]
+    names = names or [k for k in conn.keys()
+                      if conn[k]["value"].shape[-1] == 2]
+    deg = collections.Counter()
+    for name in names:
+        rows = np.asarray(conn[name]["value"])[frame]
+        for a, b in rows:
+            if a >= 0 and b >= 0:
+                deg[int(a)] += 1
+                deg[int(b)] += 1
+    by_degree = collections.Counter(deg.values())
+    return {
+        "terminal": by_degree.get(1, 0),
+        "linear": by_degree.get(2, 0),
+        "dendritic": sum(c for d, c in by_degree.items() if d >= 3),
+        "degree_histogram": dict(sorted(by_degree.items())),
+    }
+
+
 def main(argv=None):
     import h5py
 
     p = argparse.ArgumentParser(prog="chemlab-analyze")
     p.add_argument("trajectory", help="H5MD file")
     p.add_argument("--what", default="species",
-                   choices=("species", "state", "bonds", "molecules"))
+                   choices=("species", "state", "bonds", "molecules",
+                            "branching"))
     p.add_argument("--name", default="chem_bonds_0",
                    help="connectivity list for --what bonds")
     p.add_argument("--frame", default=-1, type=int)
@@ -124,6 +149,12 @@ def main(argv=None):
             steps, counts = bond_count_series(f, a.name)
             for s, c in zip(steps, counts):
                 print(s, c)
+        elif a.what == "branching":
+            c = branching_census(f, a.frame)
+            print("terminal %d linear %d dendritic %d" % (
+                c["terminal"], c["linear"], c["dendritic"]))
+            for d, n in c["degree_histogram"].items():
+                print("degree %d: %d" % (d, n))
         else:
             stats = molecule_statistics(f, a.frame)
             print("molecules: %d  DPn: %.2f  DPw: %.2f" % (
