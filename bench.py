@@ -25,15 +25,43 @@ import time
 ESPP_BASELINE_PPS = 4.0e6   # single-node-class ESPResSo++ estimate (see above)
 
 
+def _probe_backend():
+    """Return 'tpu' if the accelerator backend answers within a timeout, else
+    a cpu label.
+
+    The axon TPU plugin can hang for minutes or die with UNAVAILABLE when the
+    tunnel is down (it was down for all of round 1, which turned bench.py into
+    rc=1 and recorded nothing). Probing in a subprocess bounds the damage: on
+    any failure or timeout we force the CPU platform in *this* process and
+    still emit a parseable JSON line.
+    """
+    if os.environ.get("BENCH_FORCE_CPU"):
+        return "cpu-forced"
+    import subprocess
+    timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT", "120"))
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print('PLATFORM=' + jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout)
+        for line in r.stdout.splitlines():
+            if line.startswith("PLATFORM="):
+                plat = line.split("=", 1)[1]
+                return "cpu-fallback" if plat == "cpu" else plat
+    except Exception:
+        pass
+    return "cpu-fallback"
+
+
 def main():
     n_mols = int(os.environ.get("BENCH_N_MOLS", "3334"))   # ~10k particles
     n_blocks = int(os.environ.get("BENCH_BLOCKS", "5"))
     block_steps = int(os.environ.get("BENCH_BLOCK_STEPS", "200"))
 
-    if os.environ.get("BENCH_FORCE_CPU"):
-        import jax
-        jax.config.update("jax_platforms", "cpu")
+    backend = _probe_backend()
     import jax
+    if backend.startswith("cpu"):
+        jax.config.update("jax_platforms", "cpu")
 
     from chemlab_tpu import testsystems
     from chemlab_tpu.engine import runner
@@ -87,6 +115,7 @@ def main():
             "reaction_events": events_timed,
             "reaction_events_per_s": round(events_timed / dt, 2),
             "device": str(jax.devices()[0]),
+            "backend": backend,
             "overflow": bool(m["overflow"]),
         },
     }
@@ -95,4 +124,16 @@ def main():
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    try:
+        sys.exit(main())
+    except Exception as exc:  # never leave a round without a parsed line
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        print(json.dumps({
+            "metric": "particle-steps/sec (reactive atrp_lj-class melt)",
+            "value": 0.0,
+            "unit": "particle-steps/s",
+            "vs_baseline": 0.0,
+            "extra": {"error": "%s: %s" % (type(exc).__name__, str(exc)[:500])},
+        }))
+        sys.exit(0)
