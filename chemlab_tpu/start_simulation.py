@@ -72,10 +72,21 @@ class SimulationContext:
 def _load_hooks(path):
     hooks = {}
     if path and os.path.exists(path):
-        ns = {}
+        from . import hooks_compat
+
         with open(path) as f:
             code = f.read()
+        # Reference example hooks are Python-2 sources importing espressopp
+        # (ref: examples/atrp_lj/hooks.py) — translate + shim so they run
+        # unchanged; a hooks file that still fails to compile is skipped
+        # with a warning instead of killing the run.
+        code = hooks_compat.py2_to_py3(code, path)
+        if code is None:
+            return hooks
+        hooks_compat.install_espp_shim()
+        ns = {}
         exec(compile(code, path, "exec"), ns)  # hooks are user code, like the
+        hooks_compat.patch_namespace(ns)
         hooks = {k: v for k, v in ns.items() if k.startswith("hook_")}
         logger.info("loaded hooks from %s: %s", path, sorted(hooks))
     return hooks
@@ -85,7 +96,21 @@ def _call_hook(hooks, name, ctx, *extra):
     fn = hooks.get(name)
     if fn is None:
         return True
-    ret = fn(ctx, *extra)
+    import inspect
+
+    try:
+        n_params = len(inspect.signature(fn).parameters)
+    except (TypeError, ValueError):
+        n_params = 1
+    if n_params > 2:
+        # Reference espressopp signature (system, integrator, ar, topol, args)
+        from . import hooks_compat
+
+        session = hooks_compat.HookSession(ctx)
+        ret = fn(*session.argv(name, *extra))
+        session.commit()
+    else:
+        ret = fn(ctx, *extra)
     return True if ret is None else bool(ret)
 
 
