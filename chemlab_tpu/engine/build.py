@@ -64,7 +64,10 @@ class SimOptions:
     gen_velocity: bool = False
     mass_factor: float = 1.0        # amu conversion in the velocity draw
                                     # (ref: start_simulation.py:139-146)
+    store_pressure: bool = False
     t_hybrid_bond: int = 0
+    t_hybrid_angle: int = 0
+    t_hybrid_dihedral: int = 0
     exclude_new_bonds: bool = True
     table_dirs: tuple = (".",)
     output_prefix: str = "sim"
@@ -878,6 +881,9 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
         angle_funcs=angle_funcs,
         dihedral_funcs=dih_funcs,
         thermostat=opts.thermostat,
+        iso_coupling=(max(int(opts.thermostat_gamma), 1)
+                      if opts.thermostat == "iso" else 1),
+        store_pressure=opts.store_pressure,
         barostat=opts.barostat if opts.pressure > 0 else "no",
         has_coulomb=qq_pref > 0,
         has_reactions=has_reactions,
@@ -979,6 +985,10 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
         **atrp_arrays,
         hybrid_bond_rate=jnp.asarray(
             1.0 / opts.t_hybrid_bond if opts.t_hybrid_bond > 0 else 0.0, F32),
+        hybrid_angle_rate=jnp.asarray(
+            1.0 / opts.t_hybrid_angle if opts.t_hybrid_angle > 0 else 0.0, F32),
+        hybrid_dihedral_rate=jnp.asarray(
+            1.0 / opts.t_hybrid_dihedral if opts.t_hybrid_dihedral > 0 else 0.0, F32),
         dr_alpha=jnp.asarray(
             [compiled.dyn_resolution.get(t, (0.0, -1))[0] if compiled else 0.0
              for t in range(T)], F32),

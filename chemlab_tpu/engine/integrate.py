@@ -106,7 +106,11 @@ def _rescale_thermostat(spec: SimSpec, cfg: EngineConfig, state: MDState, key):
         tau = jnp.maximum(spec.gamma, spec.dt)
         scale = jnp.sqrt(1.0 + spec.dt / tau * (spec.kT / jnp.maximum(kT_now, 1e-30) - 1.0))
     elif cfg.thermostat == "iso":
-        scale = jnp.sqrt(spec.kT / jnp.maximum(kT_now, 1e-30))
+        # rescale only every `coupling` steps (ref Isokinetic coupling =
+        # int(thermostat_gamma), ref: start_simulation.py:345-348)
+        due = (state.step % cfg.iso_coupling) == 0
+        scale = jnp.where(due,
+                          jnp.sqrt(spec.kT / jnp.maximum(kT_now, 1e-30)), 1.0)
     else:
         scale = jnp.asarray(1.0, state.vel.dtype)
     vel = jnp.where(sel[:, None], state.vel * scale, state.vel)

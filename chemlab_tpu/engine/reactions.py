@@ -281,8 +281,12 @@ def _generate_terms_for_bond(spec: SimSpec, state: MDState, a, b, enable,
     funcs = spec.angle_func_tt[t[:, 0], t[:, 1], t[:, 2]]
     pars = spec.angle_par_tt[t[:, 0], t[:, 1], t[:, 2]]
     ang_v &= funcs > 0
+    # new angles fade in when t_hybrid_angle is set (lam ramps in run_block)
+    ang_lam = jnp.full(ang_idx.shape[0],
+                       jnp.where(spec.hybrid_angle_rate > 0, 0.0, 1.0),
+                       state.angles.lam.dtype)
     angles, ov1 = topo.table_append(
-        state.angles, ang_idx, funcs, pars, ang_v)
+        state.angles, ang_idx, funcs, pars, ang_v, lam=ang_lam)
 
     dih_idx, dih_v = topo.enumerate_new_dihedrals(state.adj, ac, bc)
     dih_v &= enable
@@ -291,8 +295,11 @@ def _generate_terms_for_bond(spec: SimSpec, state: MDState, a, b, enable,
         dfuncs = spec.dih_func_tt[td[:, 0], td[:, 1], td[:, 2], td[:, 3]]
         dpars = spec.dih_par_tt[td[:, 0], td[:, 1], td[:, 2], td[:, 3]]
         dih_v &= dfuncs > 0
+        dih_lam = jnp.full(dih_idx.shape[0],
+                           jnp.where(spec.hybrid_dihedral_rate > 0, 0.0, 1.0),
+                           state.dihedrals.lam.dtype)
         dihedrals, ov2 = topo.table_append(
-            state.dihedrals, dih_idx, dfuncs, dpars, dih_v)
+            state.dihedrals, dih_idx, dfuncs, dpars, dih_v, lam=dih_lam)
     else:
         dihedrals, ov2 = state.dihedrals, jnp.asarray(False)
         dih_v = jnp.zeros_like(dih_v)
@@ -421,8 +428,11 @@ def apply_reaction_events(spec: SimSpec, cfg: EngineConfig, state: MDState,
         # compact hit rows to a small fixed set: a single reaction event can
         # only remove a handful of bonds, and sweeping the full bond table
         # against the angle/dihedral tables inside the event scan would be
-        # O(bond_cap * angle_cap) per event
+        # O(bond_cap * angle_cap) per event. Hits beyond max_rm would leave
+        # stale angles/dihedrals/exclusions behind, so they raise the sticky
+        # overflow flag instead of being dropped silently.
         max_rm = 8
+        rm_overflow = jnp.sum(hit) > max_rm
         order = jnp.argsort(~hit)[:max_rm]
         rm_valid = hit[order]
         edges = jnp.where(rm_valid[:, None], st.bonds.idx[order], -1)
@@ -446,7 +456,8 @@ def apply_reaction_events(spec: SimSpec, cfg: EngineConfig, state: MDState,
             return topo.adj_remove_edge(adj, edges[k, 0], edges[k, 1], rm_valid[k])
         adj = jax.lax.fori_loop(0, max_rm, rm, adj)
         return dataclasses.replace(st, bonds=new_bonds, angles=angles,
-                                   dihedrals=dihedrals, excl=excl, adj=adj)
+                                   dihedrals=dihedrals, excl=excl,
+                                   adj=adj), rm_overflow
 
     def body(carry, ev):
         st, overflow = carry
@@ -478,7 +489,9 @@ def apply_reaction_events(spec: SimSpec, cfg: EngineConfig, state: MDState,
         if cfg.n_rb > 0:
             rr0 = jnp.maximum(r, 0)
             for s_code, anchor in ((0, a), (1, b)):
-                st = _remove_neighbour_bonds(st, valid, anchor, rr0, s_code)
+                st, rm_ov = _remove_neighbour_bonds(st, valid, anchor, rr0,
+                                                    s_code)
+                overflow = overflow | rm_ov
         if cfg.has_fixd:
             # JoinMolecule: capture the type_2 particle as an invisible dummy
             # constrained to the type_1 host (ref: reaction_post_process.py:322-362).

@@ -24,12 +24,24 @@ from .state import MDState
 
 def _hybrid_lambda_ramp(spec: SimSpec, state: MDState) -> MDState:
     """Per-step lambda ramp for reaction-created (hybrid) bonds
-    (FixedListDynamicResolution; ref: start_simulation.py:289-293)."""
+    (FixedListDynamicResolution; ref: start_simulation.py:289-293), plus the
+    angle/dihedral variants (t_hybrid_angle/t_hybrid_dihedral): any term
+    whose lambda sits below 1 was created fading-in and ramps up."""
     lam = state.bonds.lam
     ramp = jnp.where((state.bonds.group >= 0) & (lam < 1.0),
                      jnp.minimum(lam + spec.hybrid_bond_rate, 1.0), lam)
+    angles, dihedrals = state.angles, state.dihedrals
+    a_lam = jnp.where(angles.lam < 1.0,
+                      jnp.minimum(angles.lam + spec.hybrid_angle_rate, 1.0),
+                      angles.lam)
+    d_lam = jnp.where(dihedrals.lam < 1.0,
+                      jnp.minimum(dihedrals.lam + spec.hybrid_dihedral_rate, 1.0),
+                      dihedrals.lam)
     return dataclasses.replace(
-        state, bonds=dataclasses.replace(state.bonds, lam=ramp))
+        state,
+        bonds=dataclasses.replace(state.bonds, lam=ramp),
+        angles=dataclasses.replace(angles, lam=a_lam),
+        dihedrals=dataclasses.replace(dihedrals, lam=d_lam))
 
 
 def step_with_extensions(spec: SimSpec, cfg: EngineConfig, state: MDState,
@@ -100,7 +112,7 @@ def measure(spec: SimSpec, cfg: EngineConfig, state: MDState):
     if cfg.n_groups:
         out["group_bonds"] = observables.group_bond_counts(state.bonds,
                                                            cfg.n_groups)
-    if cfg.barostat != "no":
+    if cfg.barostat != "no" or cfg.store_pressure:
         out["P"] = integrate.virial_pressure(spec, cfg, state)
         out["boxL"] = state.box[0]
     out["reaction_counts"] = state.reaction_counts

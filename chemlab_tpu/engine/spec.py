@@ -107,6 +107,11 @@ class EngineConfig:
     cpt_interval: int
     cpt_num: int
     has_freeze: bool          # FreezeRegion extension active
+    iso_coupling: int = 1     # isokinetic rescale interval in steps
+                              # (ref Isokinetic coupling = int(thermostat_gamma),
+                              #  ref: start_simulation.py:345-348)
+    store_pressure: bool = False  # P/L observables without a barostat
+                                  # (ref: start_simulation.py:466-469)
 
 
 @_dataclass
@@ -245,6 +250,11 @@ class SimSpec:
     # -- hybrid-bond lambda ramp (FixedListDynamicResolution;
     #    ref: start_simulation.py:289-293); 0 disables --
     hybrid_bond_rate: jnp.ndarray
+    # reaction-generated angles/dihedrals fade in at these per-step rates
+    # (t_hybrid_angle/t_hybrid_dihedral; dead flags even in the reference —
+    #  implemented here as the natural extension of the bond ramp)
+    hybrid_angle_rate: jnp.ndarray
+    hybrid_dihedral_rate: jnp.ndarray
 
     # -- BasicDynamicResolution: per-type per-step lambda increment, and the
     #    property change fired at lambda >= 1 (ref: reaction_post_process.py:291-310) --

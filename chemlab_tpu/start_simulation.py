@@ -137,7 +137,10 @@ def build_sim_options(args, table_dirs):
         rng_seed=args.rng_seed,
         gen_velocity=args.gen_velocity,
         mass_factor=args.mass_factor,
+        store_pressure=bool(args.store_pressure or args.pressure),
         t_hybrid_bond=args.t_hybrid_bond,
+        t_hybrid_angle=args.t_hybrid_angle,
+        t_hybrid_dihedral=args.t_hybrid_dihedral,
         exclude_new_bonds=not args.do_not_exclude_bonds,
         table_dirs=table_dirs,
         output_prefix=args.output_prefix,
@@ -212,6 +215,12 @@ def main(argv=None):
         for item in args.debug.split(","):
             name = item.split(":")[0]
             logging.getLogger(name).setLevel(logging.DEBUG)
+
+    if args.coulomb_kappa:
+        # accepted-but-unused in the reference as well (only declared,
+        # ref: app_args.py:155); warn instead of silently ignoring
+        print("WARNING: --coulomb_kappa is accepted but has no effect "
+              "(truncated Coulomb only, as in the reference)")
 
     table_dirs = (os.path.dirname(os.path.abspath(args.top)) or ".", ".")
 
@@ -308,12 +317,39 @@ def main(argv=None):
             state,
             vel=obs_mod.reset_cm_velocity(state.mass, state.vel, state.active))
 
+    # ---- device mesh (the reference's nodeGrid/DomainDecomposition;
+    #      ref: start_simulation.py:152-171). --node_grid x,y,z selects
+    #      prod(grid) devices; with no flag, all local devices are used. ----
+    mesh = None
+    n_avail = len(jax.devices())
+    if args.node_grid:
+        from .parallel import sharding as par
+        mesh = par.make_mesh(node_grid=args.node_grid)
+    elif n_avail > 1:
+        from .parallel import sharding as par
+        mesh = par.make_mesh(n_devices=n_avail)
+    if mesh is not None and mesh.devices.size > 1:
+        from .parallel import sharding as par
+        print("Device mesh: %d x %s (row-sharded particle axis)"
+              % (mesh.devices.size, jax.devices()[0].platform))
+        spec, _ = par.shard_system(built, mesh)
+
+        def place(st):
+            return par.shard_state(mesh, st)
+    else:
+        mesh = None
+
+        def place(st):
+            return st
+
+    state = place(state)
+
     hooks_path = args.hooks or (
         "hooks.py" if os.path.exists("hooks.py") else None)
     hooks = _load_hooks(hooks_path)
     ctx = SimulationContext(args=args, systop=systop, built=built, state=state)
     _call_hook(hooks, "hook_postsetup_reaction", ctx)
-    state = ctx.state
+    state = place(ctx.state)
 
     # ---- outputs ----
     store = {k for k, on in [
@@ -437,10 +473,11 @@ def main(argv=None):
             print(" ".join("%s=%.4g" % kv for kv in shown.items()))
         if bool(m["overflow"]):
             cfg, state = build.grow_neighbor_caps(cfg, spec, state)
+            state = place(state)
             print("capacity overflow: neighbor caps regrown to K=%d cell=%d"
                   % (cfg.max_neighbors, cfg.cell_cap))
 
-        if global_step % args.trj_collect == 0:
+        if args.trj_collect and global_step % args.trj_collect == 0:
             dump_frame(state, global_step)
         if global_step % args.topol_collect == 0:
             dump_topology(state, global_step)
@@ -461,7 +498,7 @@ def main(argv=None):
             ctx.state = state
             if not _call_hook(hooks, "hook_init_reaction", ctx):
                 raise RuntimeError("hook_init_reaction returned False")
-            state = ctx.state
+            state = place(ctx.state)
             reactions_started = True
             reactions_enabled = True
             print("Chemical reactions enabled at step %d" % global_step)
@@ -504,7 +541,7 @@ def main(argv=None):
         ctx.state, ctx.step = state, global_step
         if not _call_hook(hooks, "hook_at_step", ctx, global_step):
             break
-        state = ctx.state
+        state = place(ctx.state)
 
         if args.rate_arrhenius and cfg.has_reactions:
             # rate = exp(-deltaE / kT) per new bond (ref: :785-796)

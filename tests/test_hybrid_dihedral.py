@@ -39,6 +39,33 @@ def test_hybrid_bond_lambda_ramp():
     assert lam2[sel].min() == pytest.approx(1.0)
 
 
+def test_hybrid_angle_lambda_ramp():
+    """t_hybrid_angle > 0: reaction-generated angles fade in (natural
+    extension of the t_hybrid_bond ramp; both flags are declared by the
+    reference CLI, ref: app_args.py:208)."""
+    built, systop, _ = testsystems.build_melt(n_mols=120, density=0.4,
+                                              reactive=True, max_events=16,
+                                              t_hybrid_angle=100)
+    spec, cfg = built.spec, built.cfg
+    st = runner.initial_forces(spec, cfg, built.state)
+    n_ang0 = int(jnp.sum(st.angles.valid))
+    st = testsystems.warmup(built, st, steps=150)
+    st = testsystems.activate_initiators(built, systop, st, n=24)
+    st = runner.run_block(spec, cfg, st, 210)    # crosses interval 200
+    valid = np.asarray(st.angles.valid)
+    lam = np.asarray(st.angles.lam)
+    new = valid.copy()
+    new[:n_ang0] = False            # rows appended after build
+    if new.sum() == 0:
+        pytest.skip("no reaction-generated angles at this seed")
+    # pre-existing angles never ramp; new ones are mid-ramp
+    assert lam[valid][:n_ang0].min() == pytest.approx(1.0)
+    assert lam[new].max() < 0.5
+    st = runner.run_block(spec, cfg, st, 150)
+    lam2 = np.asarray(st.angles.lam)
+    assert lam2[new].min() == pytest.approx(1.0)
+
+
 def _dihedral_table(spec, idx_rows, funcs, params):
     return TermTable.create(8, 4, idx_rows, funcs, params)
 
