@@ -813,7 +813,8 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
             ("r_min2", I32), ("r_max2", I32), ("r_delta1", I32), ("r_delta2", I32),
             ("r_cutoff2", F32), ("r_min_cutoff2", F32), ("r_sigma", F32), ("r_eq", F32),
             ("r_intramolecular", bool), ("r_intraresidual", bool), ("r_virtual", bool),
-            ("r_is_diss", bool), ("r_diss_rate", F32), ("r_group", I32),
+            ("r_is_diss", bool), ("r_diss_fade", bool),
+            ("r_diss_rate", F32), ("r_group", I32),
             ("r_new_type1", I32), ("r_new_type2", I32), ("r_cnb_type", I32),
             ("r_cnb_min", I32), ("r_cnb_max", I32), ("r_release_n", I32),
             ("r_release_side", I32), ("r_restricted", bool), ("r_join", bool)]}
@@ -926,6 +927,8 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
         cpt_interval=compiled.cpt["interval"] if compiled and compiled.cpt else 0,
         cpt_num=compiled.cpt["num"] if compiled and compiled.cpt else 0,
         has_freeze=bool(compiled and compiled.freeze),
+        freeze_mode=("num" if freeze_d and freeze_d["p_num"] else
+                     "pct" if freeze_d and freeze_d["p_pct"] else "prob"),
     )
 
     if mix_entries:
@@ -990,11 +993,14 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
         hybrid_dihedral_rate=jnp.asarray(
             1.0 / opts.t_hybrid_dihedral if opts.t_hybrid_dihedral > 0 else 0.0, F32),
         dr_alpha=jnp.asarray(
-            [compiled.dyn_resolution.get(t, (0.0, -1))[0] if compiled else 0.0
+            [compiled.dyn_resolution.get(t, (0.0, -1, False))[0] if compiled else 0.0
              for t in range(T)], F32),
         dr_final_type=jnp.asarray(
-            [compiled.dyn_resolution.get(t, (0.0, -1))[1] if compiled else -1
+            [compiled.dyn_resolution.get(t, (0.0, -1, False))[1] if compiled else -1
              for t in range(T)], I32),
+        dr_set_state=jnp.asarray(
+            [compiled.dyn_resolution.get(t, (0.0, -1, False))[2] if compiled else False
+             for t in range(T)], bool),
         fd_eq=jnp.asarray([d["eq"] for d in fd_defs] or [0.0], F32),
         fd_host_type=jnp.asarray([d["host_type"] for d in fd_defs] or [-1], I32),
         fd_dummy_type=jnp.asarray([d["dummy_type"] for d in fd_defs] or [-1], I32),
@@ -1026,6 +1032,8 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
         fr_dirs=jnp.asarray([(freeze_d is not None and d in freeze_d["dirs"])
                              for d in ("-x", "x", "-y", "y", "-z", "z")]),
         fr_prob=jnp.asarray(freeze_d["prob"] if freeze_d else 0.0, F32),
+        fr_p_num=jnp.asarray(freeze_d["p_num"] if freeze_d else 0, I32),
+        fr_p_pct=jnp.asarray(freeze_d["p_pct"] if freeze_d else 0.0, F32),
         fr_remove=jnp.asarray(bool(freeze_d and freeze_d["remove"])),
     )
 
@@ -1061,6 +1069,12 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
         reaction_active=jnp.asarray(np.ones(n_r, bool)),
         reaction_counts=jnp.zeros(n_r, I32),
         intra_counts=jnp.zeros(2, I32),
+        freeze_count=jnp.zeros((), I32),
+        ev_log_step=jnp.full((), -1, I32),
+        ev_log_a=jnp.full(opts.max_events, -1, I32),
+        ev_log_b=jnp.full(opts.max_events, -1, I32),
+        ev_log_r=jnp.full(opts.max_events, -1, I32),
+        ev_log_dist=jnp.full(opts.max_events, -1.0, F32),
         atrp_ratios=jnp.asarray([atrp["ratio_activator"] if atrp else 0.0,
                                  atrp["ratio_deactivator"] if atrp else 0.0], F32),
         atrp_stats=jnp.zeros(2, I32),

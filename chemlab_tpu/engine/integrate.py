@@ -261,12 +261,19 @@ def _dynamic_resolution(spec: SimSpec, state: MDState) -> MDState:
     lam = jnp.where(state.active & (alpha > 0.0),
                     jnp.minimum(state.lam + alpha, 1.0), state.lam)
     final = spec.dr_final_type[state.type_id]
-    fire = state.active & (alpha > 0.0) & (lam >= 1.0) & (final >= 0)
+    # fire only on CROSSING 1.0: particles of a ramped type that already sit
+    # at full resolution (e.g. never-dissociated reactants) must not convert
+    fire = state.active & (alpha > 0.0) & (state.lam < 1.0) \
+        & (lam >= 1.0) & (final >= 0)
     fc = jnp.maximum(final, 0)
     type_id = jnp.where(fire, fc, state.type_id)
     mass = jnp.where(fire, spec.type_mass[fc], state.mass)
     q = jnp.where(fire, spec.type_q[fc], state.q)
-    chem = jnp.where(fire, spec.type_state[fc], state.chem_state)
+    # dissociation fade keeps the accumulated chemical state; ReleaseMolecule
+    # finals adopt the atomtype default (ref: reaction_post_process.py:296-306
+    # vs reaction_setup.py:322-354)
+    chem = jnp.where(fire & spec.dr_set_state[state.type_id],
+                     spec.type_state[fc], state.chem_state)
     return dataclasses.replace(state, lam=lam, type_id=type_id, mass=mass,
                                q=q, chem_state=chem)
 

@@ -54,7 +54,7 @@ class CompiledReactions:
     release: dict | None      # ReleaseMolecule descriptor (dummy particles)
     restrict_file: str | None # RestrictReaction connectivity map path
     restricted_reactions: list  # channel ids with connectivity whitelist
-    dyn_resolution: dict      # type_id -> (alpha, final_type_id)
+    dyn_resolution: dict      # type_id -> (alpha, final_type_id, set_state)
     rb_rows: list             # RemoveNeighboursBonds entries
     cpt: dict | None          # ChangeParticleType descriptor
     join: dict | None         # JoinMolecule descriptor
@@ -229,9 +229,13 @@ def compile_reactions(config: dict, systop: SystemTopology, bond_table_builder,
             "release_host": options.get("invoke_on",
                                         options.get("release_host", "both")),
         }
+        # (alpha, final_type, set_state): ReleaseMolecule's final change
+        # includes the atomtype's default state
+        # (ref: reaction_post_process.py:296-306)
         dyn_resolution[target_tid] = (release["alpha"],
                                       release["final_type"]
-                                      if release["final_type"] != target_tid else -1)
+                                      if release["final_type"] != target_tid else -1,
+                                      True)
         dynamic_types.update((release["host_type"], target_tid, dummy_tid,
                               release["final_type"]))
         use_thermal_group = True
@@ -319,9 +323,18 @@ def compile_reactions(config: dict, systop: SystemTopology, bond_table_builder,
                     "width_is_ratio": o.get("width_type", "static") == "ratio",
                     "dirs": [d.strip() for d in dirs],
                     "prob": float(o["prob"]) if o.get("prob") else 1.0,
+                    # per-invocation count / percentage modes + stats file
+                    # (ref: reaction_post_process.py:160-199)
+                    "p_num": int(o["p_num"]) if o.get("p_num") else 0,
+                    "p_pct": float(o.get("p_percentage")
+                                   or o.get("p_num_percentage") or 0.0),
+                    "stats_file": o.get("stats_file", ""),
                     "remove": o.get("remove_particles", "False") in
                               ("True", "true", "1"),
                 }
+                if not (0.0 <= freeze["p_pct"] <= 1.0):
+                    raise RuntimeError(
+                        "p_percentage not in the range (0.0, 1.0)")
                 dynamic_types.update((freeze["target_type"], freeze_tid))
             else:
                 raise ValueError("unknown extension class %s" % cls)
@@ -357,6 +370,7 @@ def compile_reactions(config: dict, systop: SystemTopology, bond_table_builder,
                 "new_type2": type_change(t2),
                 "cnb_type": -1, "cnb_min": 0, "cnb_max": 0,
                 "release_n": 0, "release_side": 2, "join": False,
+                "diss_fade": False,
                 "restricted": group_restricted,
             }
             if group_restricted:
@@ -366,11 +380,19 @@ def compile_reactions(config: dict, systop: SystemTopology, bond_table_builder,
             if is_diss:
                 observed_bondtypes.add(tuple(sorted((row["t1"], row["t2"]))))
                 if "alpha" in chem and chem["alpha"]:
-                    # products fade in via BasicDynamicResolution
+                    # Reference fade-out: on break the particle keeps its OLD
+                    # type with lambda reset to 0; BasicDynamicResolution on
+                    # the old type ramps lambda back at alpha/step and the
+                    # new type fires (type/mass/q only, no state) at
+                    # lambda >= 1 (ref: reaction_setup.py:320-354).
+                    row["diss_fade"] = True
                     for nt, base in ((row["new_type1"], row["t1"]),
                                      (row["new_type2"], row["t2"])):
-                        dyn_resolution.setdefault(nt if nt >= 0 else base,
-                                                  (float(chem["alpha"]), -1))
+                        dyn_resolution.setdefault(
+                            base,
+                            (float(chem["alpha"]),
+                             nt if (nt >= 0 and nt != base) else -1,
+                             False))
             if is_exch:
                 c = rl["type_2"]
                 row["cnb_type"] = name2type[c["name"]]
@@ -426,6 +448,7 @@ def compile_reactions(config: dict, systop: SystemTopology, bond_table_builder,
         "r_intraresidual": col("intraresidual", bool),
         "r_virtual": col("virtual", bool),
         "r_is_diss": col("is_diss", bool),
+        "r_diss_fade": col("diss_fade", bool),
         "r_diss_rate": col("diss_rate"),
         "r_group": col("group", np.int32),
         "r_new_type1": col("new_type1", np.int32),

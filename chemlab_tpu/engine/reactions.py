@@ -211,7 +211,10 @@ def match_reactions(spec: SimSpec, cfg: EngineConfig, state: MDState, seed):
     ev_a = jnp.where(ev_valid, t1_side, -1)
     ev_b = jnp.where(ev_valid, t2_side, -1)
     ev_r = jnp.where(ev_valid, my_r[take], -1)
-    return ev_valid, ev_a, ev_b, ev_r
+    dp = state.pos[jnp.maximum(ev_a, 0)] - state.pos[jnp.maximum(ev_b, 0)]
+    dp -= state.box * jnp.round(dp / state.box)
+    ev_dist = jnp.where(ev_valid, jnp.sqrt(jnp.sum(dp * dp, -1)), -1.0)
+    return ev_valid, ev_a, ev_b, ev_r, ev_dist
 
 
 # ---------------------------------------------------------------------------
@@ -547,16 +550,22 @@ def apply_dissociation_events(spec: SimSpec, cfg: EngineConfig, state: MDState,
     chem = state.chem_state
     chem = chem.at[jnp.where(ev_valid, a, n)].add(d_a, mode="drop")
     chem = chem.at[jnp.where(ev_valid, b, n)].add(d_b, mode="drop")
-    tid, mass, q = state.type_id, state.mass, state.q
+    # lambda fade-out (alpha set): the particle keeps its old type with
+    # lambda dropped to 0; BasicDynamicResolution ramps it back and fires
+    # the product type at lambda >= 1 (ref: reaction_setup.py:320-354).
+    # Without alpha the product type applies instantly.
+    fade = spec.r_diss_fade[rr]
+    tid, mass, q, lam = state.type_id, state.mass, state.q, state.lam
     for p, nt in ((a, nt_a), (b, nt_b)):
-        sel = jnp.where(ev_valid & (nt >= 0), p, n)
+        sel = jnp.where(ev_valid & (nt >= 0) & ~fade, p, n)
         tid = tid.at[sel].set(jnp.maximum(nt, 0), mode="drop")
         mass = mass.at[sel].set(spec.type_mass[jnp.maximum(nt, 0)], mode="drop")
         q = q.at[sel].set(spec.type_q[jnp.maximum(nt, 0)], mode="drop")
+        lam = lam.at[jnp.where(ev_valid & fade, p, n)].set(0.0, mode="drop")
     counts = state.reaction_counts.at[
         jnp.where(ev_valid, rr, cfg.n_reactions)].add(1, mode="drop")
     state = dataclasses.replace(state, chem_state=chem, type_id=tid, mass=mass,
-                                q=q, reaction_counts=counts)
+                                q=q, lam=lam, reaction_counts=counts)
 
     # invalidate the bond rows themselves
     bond_idx = state.bonds.idx.at[jnp.where(ev_valid, rows, state.bonds.capacity)
@@ -700,8 +709,19 @@ def freeze_region_step(spec: SimSpec, cfg: EngineConfig,
                (pos[:, axis] > box[axis] - w[axis])
         in_region |= spec.fr_dirs[k] & side
     u = jax.random.uniform(sub, (pos.shape[0],))
-    hit = state.active & in_region & (state.type_id == spec.fr_target_type) \
-        & (u < spec.fr_prob)
+    cand = state.active & in_region & (state.type_id == spec.fr_target_type)
+    if cfg.freeze_mode == "prob":
+        hit = cand & (u < spec.fr_prob)
+    else:
+        # p_num / p_num_percentage: freeze a bounded random subset per step
+        # (ref ChangeInRegion modes; reaction_post_process.py:160-199)
+        n_cand = jnp.sum(cand)
+        k = (spec.fr_p_num if cfg.freeze_mode == "num"
+             else jnp.floor(spec.fr_p_pct * n_cand).astype(jnp.int32))
+        order = jnp.argsort(jnp.where(cand, u, jnp.inf))
+        rank = jnp.zeros(pos.shape[0], I32).at[order].set(
+            jnp.arange(pos.shape[0], dtype=I32))
+        hit = cand & (rank < k)
     type_id = jnp.where(hit & ~spec.fr_remove,
                         jnp.maximum(spec.fr_final_type, 0), state.type_id)
     # frozen particles stay pinned: zero velocity/force every step
@@ -709,8 +729,9 @@ def freeze_region_step(spec: SimSpec, cfg: EngineConfig,
     vel = jnp.where(pinned[:, None], 0.0, state.vel)
     force = jnp.where(pinned[:, None], 0.0, state.force)
     active = state.active & ~(hit & spec.fr_remove)
-    state = dataclasses.replace(state, key=key, type_id=type_id, vel=vel,
-                                force=force, active=active)
+    state = dataclasses.replace(
+        state, key=key, type_id=type_id, vel=vel, force=force, active=active,
+        freeze_count=state.freeze_count + jnp.sum(hit).astype(I32))
 
     # removal cleanup: dead particles must not keep exerting bonded forces
     # or occupy topology structures
@@ -747,7 +768,14 @@ def reaction_step(spec: SimSpec, cfg: EngineConfig, state: MDState,
     """One ChemicalReaction invocation (every ``interval`` MD steps)."""
     seed = jnp.asarray(rng_seed, jnp.uint32)
 
-    ev_valid, ev_a, ev_b, ev_r = match_reactions(spec, cfg, state, seed)
+    ev_valid, ev_a, ev_b, ev_r, ev_dist = match_reactions(spec, cfg, state,
+                                                           seed)
+    # accepted-pair log for the pair_distances_filename dump
+    # (ref: reaction_parser.py:198); refreshed every firing, read by the
+    # host at block boundaries
+    state = dataclasses.replace(
+        state, ev_log_step=state.step, ev_log_a=ev_a, ev_log_b=ev_b,
+        ev_log_r=ev_r, ev_log_dist=ev_dist.astype(state.ev_log_dist.dtype))
     state, topo_overflow = apply_reaction_events(spec, cfg, state,
                                                  ev_valid, ev_a, ev_b, ev_r)
 

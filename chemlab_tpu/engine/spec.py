@@ -107,6 +107,7 @@ class EngineConfig:
     cpt_interval: int
     cpt_num: int
     has_freeze: bool          # FreezeRegion extension active
+    freeze_mode: str = "prob" # 'prob' | 'num' | 'pct' selection discipline
     iso_coupling: int = 1     # isokinetic rescale interval in steps
                               # (ref Isokinetic coupling = int(thermostat_gamma),
                               #  ref: start_simulation.py:345-348)
@@ -210,6 +211,7 @@ class SimSpec:
     r_intraresidual: jnp.ndarray   # bool: allow same-residue pairs
     r_virtual: jnp.ndarray         # bool: no bond created
     r_is_diss: jnp.ndarray         # bool: dissociation channel
+    r_diss_fade: jnp.ndarray       # bool: lambda fade-out on break (alpha)
     r_diss_rate: jnp.ndarray       # spontaneous break probability
     r_group: jnp.ndarray           # int32 group id
     # type-change post-process per side (-1 = no change)
@@ -260,6 +262,7 @@ class SimSpec:
     #    property change fired at lambda >= 1 (ref: reaction_post_process.py:291-310) --
     dr_alpha: jnp.ndarray         # (T,) float32, 0 = off
     dr_final_type: jnp.ndarray    # (T,) int32, -1 = keep type
+    dr_set_state: jnp.ndarray     # (T,) bool: final change includes state
 
     # -- FixDistances definitions (ReleaseMolecule + JoinMolecule instances;
     #    ref: reaction_post_process.py:203-362).  A constraint row's owning
@@ -302,4 +305,6 @@ class SimSpec:
     fr_width: jnp.ndarray         # (3,) float32 edge-region width
     fr_dirs: jnp.ndarray          # (6,) bool [-x, x, -y, y, -z, z]
     fr_prob: jnp.ndarray          # () float32 per-step freeze probability
+    fr_p_num: jnp.ndarray         # () int32 freeze at most N per step (0=off)
+    fr_p_pct: jnp.ndarray         # () float32 freeze fraction per step (0=off)
     fr_remove: jnp.ndarray        # () bool remove instead of freeze

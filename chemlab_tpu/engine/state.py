@@ -161,6 +161,14 @@ class MDState:
     intra_counts: jnp.ndarray      # (2,) int32 [intra, inter] residue counters
     atrp_ratios: jnp.ndarray       # (2,) float32 [activator, deactivator]
     atrp_stats: jnp.ndarray        # (2,) int32 [activated, deactivated]
+    freeze_count: jnp.ndarray      # () int32 cumulative frozen/removed
+    # last reaction interval's accepted events (pair_distances_filename dump;
+    # ref: reaction_parser.py:198): -1 padded, refreshed each firing
+    ev_log_step: jnp.ndarray       # () int32 step of the last firing (-1 none)
+    ev_log_a: jnp.ndarray          # (E,) int32
+    ev_log_b: jnp.ndarray          # (E,) int32
+    ev_log_r: jnp.ndarray          # (E,) int32
+    ev_log_dist: jnp.ndarray       # (E,) float32
 
     @property
     def n_particles(self) -> int:

@@ -406,6 +406,62 @@ def main(argv=None):
                 h5.dump_connectivity("dihedrals_0", step, t,
                                      np.asarray(st.dihedrals.idx))
 
+    # ---- reaction observability files ----
+    # accepted-pair distance dump (ref: reaction_parser.py:198) + FreezeRegion
+    # stats (ref: reaction_post_process.py:146-148) + per-interval running
+    # reaction counters (ref: start_simulation.py:1027-1036)
+    pair_dist_file = None
+    freeze_stats_file = None
+    counters_file = None
+    last_ev_logged = -1
+    if rcfg and rcfg.get("general") and \
+            rcfg["general"].get("pair_distances_filename"):
+        pair_dist_file = rcfg["general"]["pair_distances_filename"]
+        files_io.prepare_path(pair_dist_file)
+        with open(pair_dist_file, "w") as f:
+            f.write("# step reaction pid1 pid2 distance\n")
+    if cfg.has_freeze:
+        freeze_stats_file = (built.reactions.freeze.get("stats_file")
+                             or "%s_%d_freeze_stats.dat"
+                             % (out_prefix, args.rng_seed))
+        files_io.prepare_path(freeze_stats_file)
+        with open(freeze_stats_file, "w") as f:
+            f.write("# step frozen_total\n")
+    if cfg.has_reactions and built.reactions:
+        # running per-interval series; the final-total file written in the
+        # output phase keeps the reference's name
+        counters_file = "%s_reaction_counters_series.csv" % out_prefix
+        files_io.prepare_path(counters_file)
+        with open(counters_file, "w") as f:
+            f.write("step,intra,inter,%s\n" % ",".join(
+                "r_%d" % i for i in sorted(built.reactions.reaction_index)))
+
+    def dump_reaction_observables(st, step):
+        nonlocal last_ev_logged
+        if pair_dist_file is not None:
+            fired = int(st.ev_log_step)
+            if fired >= 0 and fired != last_ev_logged:
+                last_ev_logged = fired
+                va = np.asarray(st.ev_log_a)
+                sel = va >= 0
+                if sel.any():
+                    vb = np.asarray(st.ev_log_b)[sel]
+                    vr = np.asarray(st.ev_log_r)[sel]
+                    vd = np.asarray(st.ev_log_dist)[sel]
+                    with open(pair_dist_file, "a") as f:
+                        for a_, b_, r_, d_ in zip(va[sel], vb, vr, vd):
+                            f.write("%d %d %d %d %.6f\n"
+                                    % (fired, r_, a_ + 1, b_ + 1, d_))
+        if freeze_stats_file is not None:
+            with open(freeze_stats_file, "a") as f:
+                f.write("%d %d\n" % (step, int(st.freeze_count)))
+        if counters_file is not None:
+            counts = np.asarray(st.reaction_counts)
+            intra = np.asarray(st.intra_counts)
+            with open(counters_file, "a") as f:
+                f.write("%d,%d,%d,%s\n" % (step, intra[0], intra[1],
+                                           ",".join(str(c) for c in counts)))
+
     # ---- main loop (ref: start_simulation.py:728-797) ----
     # the block size must divide every collection interval, or frames would
     # silently stretch/skip (the reference clamps int_step to trj_collect
@@ -527,6 +583,8 @@ def main(argv=None):
                                  rng_seed=args.rng_seed)
         global_step += integrator_step
         k += 1
+        if reactions_enabled or cfg.has_freeze:
+            dump_reaction_observables(state, global_step)
 
         if args.checkpoint_interval and k % args.checkpoint_interval == 0:
             from . import checkpoint

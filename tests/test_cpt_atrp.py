@@ -170,3 +170,70 @@ def test_freeze_remove_cleans_topology():
     adj = np.asarray(st2.adj)
     assert (adj[removed] == -1).all()
     assert not removed[adj[adj >= 0]].any()
+    # the running counter matches (ref ChangeInRegion stats file)
+    assert int(st2.freeze_count) == removed.sum()
+
+
+def _freeze_build(mode_lines, n_mols=80):
+    cfg_text = FREEZE_RM_CFG.replace("prob=1.0\nremove_particles=True",
+                                     mode_lines)
+    top = topfile.parse_lines(
+        testsystems._melt_topology_text(n_mols).splitlines(), "<g>")
+    systop = compile_system_topology(top)
+    coords = testsystems.melt_coordinates(n_mols, 0.3, seed=8)
+    rcfg = reaction_parser.parse_config_lines(cfg_text.splitlines())
+    opts = build.SimOptions(lj_cutoff=2.5, cg_cutoff=2.5, dt=0.0025, kT=1.0,
+                            gen_velocity=True, rng_seed=8)
+    built = build.build_system(systop, coords, opts, reaction_config=rcfg)
+    st = runner.initial_forces(built.spec, built.cfg, built.state)
+    return built, dataclasses.replace(st, reactions_on=jnp.asarray(True))
+
+
+def test_freeze_p_num_caps_per_step():
+    """p_num mode freezes at most N particles per invocation
+    (ref: reaction_post_process.py:160-168)."""
+    built, st = _freeze_build("p_num=3")
+    assert built.cfg.freeze_mode == "num"
+    st2 = reactions.freeze_region_step(built.spec, built.cfg, st)
+    frozen = int(st2.freeze_count)
+    assert frozen == 3
+    final = int(built.spec.fr_final_type)
+    assert (np.asarray(st2.type_id) == final).sum() == frozen
+    st3 = reactions.freeze_region_step(built.spec, built.cfg, st2)
+    assert int(st3.freeze_count) == 6
+
+
+def test_freeze_percentage_mode():
+    """p_percentage freezes floor(pct * candidates) per invocation."""
+    built, st = _freeze_build("p_percentage=0.5")
+    assert built.cfg.freeze_mode == "pct"
+    # candidates: ML particles inside the x edge regions
+    pos = np.asarray(st.pos)
+    box = np.asarray(st.box)
+    tid = np.asarray(st.type_id)
+    ml = int(built.spec.fr_target_type)
+    cand = (tid == ml) & ((pos[:, 0] < 2.0) | (pos[:, 0] > box[0] - 2.0))
+    st2 = reactions.freeze_region_step(built.spec, built.cfg, st)
+    assert int(st2.freeze_count) == cand.sum() // 2
+
+
+def test_reaction_event_log_records_distances():
+    """Accepted pairs land in the ev_log_* buffers with their distances
+    (pair_distances_filename; ref: reaction_parser.py:198)."""
+    from chemlab_tpu import testsystems as ts
+    built, systop, _ = ts.build_melt(n_mols=120, density=0.4, reactive=True,
+                                     max_events=16)
+    spec, cfg = built.spec, built.cfg
+    st = runner.initial_forces(spec, cfg, built.state)
+    st = ts.warmup(built, st, steps=150)
+    st = ts.activate_initiators(built, systop, st, n=24)
+    st = runner.run_block(spec, cfg, st, 210)   # crosses interval 200
+    fired = int(jnp.sum(st.reaction_counts))
+    if fired == 0:
+        pytest.skip("no reactions at this seed")
+    assert int(st.ev_log_step) == 200
+    va = np.asarray(st.ev_log_a)
+    sel = va >= 0
+    assert sel.sum() == fired
+    d = np.asarray(st.ev_log_dist)[sel]
+    assert (d > 0).all() and (d < 1.5).all()   # within the group cutoff
