@@ -82,6 +82,7 @@ class SimOptions:
     extra_dihedrals: int | None = None
     max_events: int = 128
     dtype: str = "float32"
+    validate_tables: bool = False   # log per-table resampling error report
     use_pallas: bool | None = None   # None = env CHEMLAB_PALLAS=1
 
 
@@ -782,6 +783,17 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
     bond_stack = bond_tb.build()
     angle_stack = angle_tb.build()
     dih_stack = dih_tb.build()
+    if opts.validate_tables:
+        for label, tb in (("nonbonded", nb_tb), ("bond", bond_tb),
+                          ("angle", angle_tb), ("dihedral", dih_tb)):
+            for name, itype, ae, re_, af in tb.fidelity_report():
+                logger.info(
+                    "table fidelity [%s] %s itype=%d: max|dE|=%.3g "
+                    "max relE=%.3g max|dF|=%.3g", label, name, itype,
+                    ae, re_, af)
+                print("table fidelity [%s] %s itype=%d: max|dE|=%.3g "
+                      "max relE=%.3g max|dF|=%.3g"
+                      % (label, name, itype, ae, re_, af))
 
     # ---- thermostat / thermal groups ----
     thermal_mask = np.ones(T, bool)

@@ -97,7 +97,10 @@ def _pack_group_potential(group, table_builder, table_dirs):
         func = 8
         fname = files_io.resolve_table(opts["filename"], table_dirs)
         r, e, f, _ = files_io.read_table(fname, kind="bond")
-        params[0] = table_builder.add(fname, r, e, f)
+        # reaction groups declare the interpolation discipline
+        # (itype=2 Akima, e.g. ref: examples/atrp_activator/atrp.cfg:34)
+        params[0] = table_builder.add(fname, r, e, f,
+                                      itype=int(opts.get("itype", 1)))
     else:
         raise NotImplementedError("reaction group potential %s" % pot)
     return func, params
