@@ -86,6 +86,9 @@ def build_parser() -> ParamsArgumentParser:
                    help="Path to hooks.py (defaults to ./hooks.py if present)")
     g.add_argument("--profile_dir", default=None,
                    help="Write a jax profiler trace of the main loop here")
+    g.add_argument("--timers", default=True, type=_bool,
+                   help="Record the per-phase timing breakdown in the "
+                        "_benchmark.pck (costs a few extra compiles at end)")
 
     s = p.add_argument_group("Simulation parameters")
     s.add_argument("--kb", type=float, default=0.0083144621,

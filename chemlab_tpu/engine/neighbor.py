@@ -135,11 +135,17 @@ def build_neighbor_state(pos, box, active, excl_pairs, rc_skin, *, dims, cell_ca
     ncid = (nc[..., 0] * dims[1] + nc[..., 1]) * dims[2] + nc[..., 2]
     cand = buckets[ncid].reshape(n_pad, -1)  # (N, S*cap)
 
-    # squared distances with minimum image
+    # squared distances with minimum image, accumulated per axis: gathering
+    # pos[(N, S*cap)] as an (N, S*cap, 3) tensor puts xyz in the lane dim,
+    # which the TPU T(8,128) layout pads 3 -> 128 (42x HBM, OOM at 100k);
+    # three (N, S*cap) 1-D gathers stay dense
     cand_safe = jnp.maximum(cand, 0)
-    dr = pos[cand_safe] - pos[:, None, :]
-    dr -= box * jnp.round(dr / box)
-    d2 = jnp.sum(dr * dr, axis=-1)
+    d2 = jnp.zeros(cand.shape, pos.dtype)
+    for ax in range(3):
+        pax = pos[:, ax]
+        d = pax[cand_safe] - pax[:, None]
+        d -= box[ax] * jnp.round(d / box[ax])
+        d2 += d * d
 
     self_idx = jnp.arange(n_pad, dtype=I32)
     valid = (cand >= 0) & (cand != self_idx[:, None]) & (d2 < rc_skin * rc_skin)

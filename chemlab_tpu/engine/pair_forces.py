@@ -67,9 +67,17 @@ def pair_forces(spec: SimSpec, n_types: int, pos, box, type_id, q, lam, nbr_idx,
     has_lam = cfg is None or cfg.has_lambda_pairs
     n = pos.shape[0]
     j = nbr_idx
-    dr = pos[:, None, :] - pos[j]           # r_i - r_j
-    dr -= box * jnp.round(dr / box)
-    r2 = jnp.sum(dr * dr, axis=-1)
+    # per-axis displacements: an (N, K, 3) tensor would put xyz in the TPU
+    # lane dim (T(8,128) pads 3 -> 128, a 42x HBM blowup); three (N, K)
+    # planes stay dense and fuse into the same elementwise program
+    drs = []
+    r2 = jnp.zeros(j.shape, pos.dtype)
+    for ax in range(3):
+        pax = pos[:, ax]
+        d = pax[:, None] - pax[j]           # r_i - r_j
+        d -= box[ax] * jnp.round(d / box[ax])
+        drs.append(d)
+        r2 += d * d
     mask = (j != jnp.arange(n, dtype=jnp.int32)[:, None]) & ~excl_mask
     r2 = jnp.where(mask, r2, 1.0)           # keep math finite on dead slots
     r = jnp.sqrt(r2)
@@ -154,7 +162,7 @@ def pair_forces(spec: SimSpec, n_types: int, pos, box, type_id, q, lam, nbr_idx,
         e_qq, f_qq = zero, zero
 
     f_over_r = f_nb + f_qq
-    force = jnp.sum(f_over_r[..., None] * dr, axis=1)
+    force = jnp.stack([jnp.sum(f_over_r * d, axis=1) for d in drs], axis=-1)
 
     energies = {
         "lj": 0.5 * jnp.sum(e_lj),

@@ -64,14 +64,14 @@ def stencil_table(dims) -> np.ndarray:
 
 def _kernel(stencil_ref,                      # scalar prefetch (n_cells, 27)
             cpos_ref,                         # (1, cap, 4) this cell
-            ctype_ref,                        # (1, cap)
+            ctype_ref,                        # (1, 1, cap)
             npos_ref,                         # (1, cap, 4) stencil-j cell
-            ntype_ref,                        # (1, cap)
+            ntype_ref,                        # (1, 1, cap)
             box_ref,                          # (1, 4) SMEM-ish small
-            pk_ref, psig_ref, peps_ref, pcut_ref, pshift_ref,  # (T*T,)
-            pta_ref,                          # (T*T,) table ids
+            pk_ref, psig_ref, peps_ref, pcut_ref, pshift_ref,  # (1, T*T)
+            pta_ref,                          # (1, T*T) table ids
             tab_ef_ref,                       # (nT, bins, 2)
-            tab_r0_ref, tab_dr_ref,           # (nT,)
+            tab_r0_ref, tab_dr_ref,           # (1, nT)
             force_ref,                        # out (1, cap, 4)
             energy_ref,                       # out (1, cap, 2) [lj, tab]
             *, cap: int, n_types: int, n_bins: int):
@@ -85,8 +85,8 @@ def _kernel(stencil_ref,                      # scalar prefetch (n_cells, 27)
     xi = cpos_ref[0]                          # (cap, 4): xyz + valid flag
     xj = npos_ref[0]
     box = box_ref[0]
-    ti = ctype_ref[0]                         # (cap,)
-    tj = ntype_ref[0]
+    ti = ctype_ref[0, 0]                      # (cap,)
+    tj = ntype_ref[0, 0]
 
     # minimum-image displacement tiles, (cap, cap) per axis
     dr = []
@@ -104,23 +104,23 @@ def _kernel(stencil_ref,                      # scalar prefetch (n_cells, 27)
     r = jnp.sqrt(r2s)
 
     pid = ti[:, None] * n_types + tj[None, :]
-    kind = pk_ref[pid]
-    cut2 = pcut_ref[pid]
+    kind = pk_ref[0, pid]
+    cut2 = pcut_ref[0, pid]
     in_cut = valid & (r2s < cut2)
 
     # ---- LJ ----
-    sig = psig_ref[pid]
-    eps = peps_ref[pid]
+    sig = psig_ref[0, pid]
+    eps = peps_ref[0, pid]
     s2 = (sig * sig) / r2s
     s6 = s2 * s2 * s2
     lj_m = in_cut & (kind == PAIR_LJ)
-    e_lj = jnp.where(lj_m, 4.0 * eps * (s6 * s6 - s6) - pshift_ref[pid], 0.0)
+    e_lj = jnp.where(lj_m, 4.0 * eps * (s6 * s6 - s6) - pshift_ref[0, pid], 0.0)
     f_lj = jnp.where(lj_m, 48.0 * eps * (s6 * s6 - 0.5 * s6) / r2s, 0.0)
 
     # ---- tabulated (linear interpolation on the stacked uniform grids) ----
     tab_m = in_cut & (kind == PAIR_TAB)
-    tid = pta_ref[pid]
-    u = (r - tab_r0_ref[tid]) / tab_dr_ref[tid]
+    tid = pta_ref[0, pid]
+    u = (r - tab_r0_ref[0, tid]) / tab_dr_ref[0, tid]
     u = jnp.clip(u, 0.0, n_bins - 1.000001)
     i0 = u.astype(jnp.int32)
     frac = u - i0
@@ -161,7 +161,10 @@ def cell_pair_forces(pos, type_id, active, box, buckets, stencil, spec,
     slot_valid = (buckets[:n_cells] >= 0) & active[rows]
     cpos = jnp.concatenate(
         [pos[rows], slot_valid[..., None].astype(pos.dtype)], axis=-1)
-    ctype = jnp.where(slot_valid, type_id[rows], 0).astype(I32)
+    # (C, 1, cap): TPU block specs need the last two dims tileable — a
+    # (1, cap) block of a (C, cap) array is not (second-to-last dim 1 is
+    # neither 8-divisible nor equal to C); (1, 1, cap) of (C, 1, cap) is.
+    ctype = jnp.where(slot_valid, type_id[rows], 0).astype(I32)[:, None, :]
     box4 = jnp.concatenate([box, jnp.ones(1, box.dtype)])[None, :]
 
     n_bins = spec.nb_ef.shape[1]
@@ -176,9 +179,10 @@ def cell_pair_forces(pos, type_id, active, box, buckets, stencil, spec,
     )
     force_c, energy_c = grid_spec(
         stencil, cpos, ctype, cpos, ctype, box4,
-        spec.pair_kind, spec.pair_sig, spec.pair_eps, spec.pair_cutoff2,
-        spec.pair_shift, spec.pair_tab_a,
-        spec.nb_ef, spec.nb_r0, spec.nb_dr)
+        spec.pair_kind[None, :], spec.pair_sig[None, :],
+        spec.pair_eps[None, :], spec.pair_cutoff2[None, :],
+        spec.pair_shift[None, :], spec.pair_tab_a[None, :],
+        spec.nb_ef, spec.nb_r0[None, :], spec.nb_dr[None, :])
 
     # scatter back to particle rows
     force = jnp.zeros((n, 3), pos.dtype)
@@ -224,19 +228,19 @@ def pltpu_grid(n_cells, cap, spec, stencil):
         grid=(n_cells, n_stencil),
         in_specs=[
             bs((1, cap, 4), cell_map),
-            bs((1, cap), cell_map2),
+            bs((1, 1, cap), cell_map),
             bs((1, cap, 4), nbr_map),
-            bs((1, cap), nbr_map2),
+            bs((1, 1, cap), nbr_map),
             bs((1, 4), rep2),
-            bs(spec.pair_kind.shape, rep),
-            bs(spec.pair_sig.shape, rep),
-            bs(spec.pair_eps.shape, rep),
-            bs(spec.pair_cutoff2.shape, rep),
-            bs(spec.pair_shift.shape, rep),
-            bs(spec.pair_tab_a.shape, rep),
+            bs((1,) + spec.pair_kind.shape, rep2),
+            bs((1,) + spec.pair_sig.shape, rep2),
+            bs((1,) + spec.pair_eps.shape, rep2),
+            bs((1,) + spec.pair_cutoff2.shape, rep2),
+            bs((1,) + spec.pair_shift.shape, rep2),
+            bs((1,) + spec.pair_tab_a.shape, rep2),
             bs(spec.nb_ef.shape, rep3),
-            bs(spec.nb_r0.shape, rep),
-            bs(spec.nb_dr.shape, rep),
+            bs((1,) + spec.nb_r0.shape, rep2),
+            bs((1,) + spec.nb_dr.shape, rep2),
         ],
         out_specs=(
             bs((1, cap, 4), cell_map),

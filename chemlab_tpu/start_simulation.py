@@ -669,6 +669,15 @@ def main(argv=None):
         "n_devices": n_devices,
         "neighbor_rebuilds": int(state.nbr.n_rebuilds),
     }
+    if args.timers:
+        # per-phase breakdown (ref: start_simulation.py:1040-1076 prints the
+        # espressopp per-interaction timer dict; here each phase is jitted
+        # standalone and timed against the final state)
+        from .engine import perf
+
+        phases = perf.phase_timers(spec, cfg, state)
+        timers.update(phases)
+        print(perf.format_timers(phases))
     with open("%s_benchmark.pck" % out_prefix, "wb") as f:
         pickle.dump(timers, f)
     pps = cfg.n_particles * global_step / max(t_loop, 1e-9)
