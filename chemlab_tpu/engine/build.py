@@ -501,11 +501,13 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
 
     # ---- ReleaseMolecule dummy particles (ref: reaction_post_process.py:230-260):
     #      `replicate` dummies per host particle, constrained at eq_length ----
-    release = compiled.release if compiled else None
-    join_d = compiled.join if compiled else None
+    releases = compiled.releases if compiled else []
+    joins = compiled.joins if compiled else []
     freeze_d = compiled.freeze if compiled else None
+    # FixDistances definitions: releases first, then joins — the same order
+    # reaction_compile uses to assign r_join_def indices
     fd_defs = []
-    if release:
+    for release in releases:
         fd_defs.append({
             "eq": release["eq_length"],
             "host_type": (release["host_type"]
@@ -513,19 +515,23 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
             "dummy_type": release["dummy_type"],
             "target_type": release["target_type"],
             "release_lam": 0.0,
+            "capture_lam": 0.0,
+            "capture_state": 0,
         })
-    if join_d:
+    for join_d in joins:
         fd_defs.append({
             "eq": join_d["eq_length"],
             "host_type": join_d["host_type"],
             "dummy_type": join_d["dummy_type"],
             "target_type": join_d["target_type"],
             "release_lam": join_d["init_res"],
+            "capture_lam": join_d["init_res"],
+            "capture_state": join_d["state"],
         })
     n_real = n
     fix_pairs = np.zeros((0, 2), I32)
-    dummy = None
-    if release:
+    dummies = []
+    for release in releases:
         host_rows = np.where(systop.type_ids == release["host_type"])[0]
         n_dummy = len(host_rows) * release["replicate"]
         trec = systop.top.atomtypes.get(
@@ -539,8 +545,9 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
             "lam": release["init_res"],
             "eq": release["eq_length"],
         }
-        fix_pairs = np.stack([dummy["host_of"],
-                              dummy["rows"].astype(I32)], axis=1)
+        dummies.append(dummy)
+        pairs = np.stack([dummy["host_of"], dummy["rows"].astype(I32)], axis=1)
+        fix_pairs = np.concatenate([fix_pairs, pairs], axis=0).astype(I32)
         n = n + n_dummy
         logger.info("generated %d dummy particles (type %d) on %d hosts",
                     n_dummy, release["dummy_type"], len(host_rows))
@@ -761,7 +768,7 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
     active = np.zeros(n_pad, bool)
     active[:n] = True
 
-    if dummy is not None:
+    for dummy in dummies:
         rows = dummy["rows"]
         pos[rows] = np.mod(pos[dummy["host_of"]]
                            + np.asarray([dummy["eq"], 0.0, 0.0], dtype), box)
@@ -801,12 +808,10 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
         thermal_mask[:] = False
         for s in opts.thermal_groups:
             thermal_mask[systop.atomsym_atomtype[s]] = True
-    if release:
+    for d in fd_defs:
         # dummy particles must not be thermostatted
         # (ref: reaction_post_process.py:313-314)
-        thermal_mask[release["dummy_type"]] = False
-    if join_d:
-        thermal_mask[join_d["dummy_type"]] = False
+        thermal_mask[d["dummy_type"]] = False
     if freeze_d:
         thermal_mask[freeze_d["final_type"]] = False
 
@@ -829,7 +834,8 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
             ("r_diss_rate", F32), ("r_group", I32),
             ("r_new_type1", I32), ("r_new_type2", I32), ("r_cnb_type", I32),
             ("r_cnb_min", I32), ("r_cnb_max", I32), ("r_release_n", I32),
-            ("r_release_side", I32), ("r_restricted", bool), ("r_join", bool)]}
+            ("r_release_side", I32), ("r_restricted", bool),
+            ("r_join_def", I32)]}
     if compiled and compiled.ppnb:
         pp_arrays = {k: jnp.asarray(v) for k, v in compiled.ppnb.items()}
         n_pp = len(compiled.ppnb["ppnb_reaction"])
@@ -924,12 +930,12 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
         atrp_num=atrp["num_particles"] if atrp else 0,
         has_dissociation=bool(compiled and compiled.n_reactions
                               and any(c for c in compiled.channels["r_is_diss"])),
-        has_fixd=bool(fix_pairs.shape[0] > 0 or join_d),
+        has_fixd=bool(fix_pairs.shape[0] > 0 or joins),
         fixd_cap=max(_round_up(
             fix_pairs.shape[0]
-            + (int(np.sum(systop.type_ids == join_d["target_type"]))
-               + int(np.sum(systop.type_ids == join_d["final_type"]))
-               if join_d else 0), 128), 1),
+            + sum(int(np.sum(systop.type_ids == jd["target_type"]))
+                  + int(np.sum(systop.type_ids == jd["final_type"]))
+                  for jd in joins), 128), 1),
         n_fd=max(len(fd_defs), 1),
         has_dyn_resolution=bool(compiled and compiled.dyn_resolution),
         restrict_scan=(int(np.bincount(restrict_rows[:, 0]).max())
@@ -1018,9 +1024,8 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
         fd_dummy_type=jnp.asarray([d["dummy_type"] for d in fd_defs] or [-1], I32),
         fd_target_type=jnp.asarray([d["target_type"] for d in fd_defs] or [-1], I32),
         fd_release_lam=jnp.asarray([d["release_lam"] for d in fd_defs] or [0.0], F32),
-        j_dummy_type=jnp.asarray(join_d["dummy_type"] if join_d else -1, I32),
-        j_init_res=jnp.asarray(join_d["init_res"] if join_d else 0.0, F32),
-        j_state=jnp.asarray(join_d["state"] if join_d else 0, I32),
+        fd_capture_lam=jnp.asarray([d["capture_lam"] for d in fd_defs] or [0.0], F32),
+        fd_capture_state=jnp.asarray([d["capture_state"] for d in fd_defs] or [0], I32),
         restrict_lo=jnp.asarray(restrict_rows[:, 0].astype(I32)
                                 if restrict_rows.size else np.zeros(0, I32)),
         restrict_hi=jnp.asarray(restrict_rows[:, 1].astype(I32)

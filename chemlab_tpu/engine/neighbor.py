@@ -163,9 +163,11 @@ def build_neighbor_state(pos, box, active, excl_pairs, rc_skin, *, dims, cell_ca
     nbr = jnp.where(nbr >= 0, nbr, self_idx[:, None])
     nbr_overflow = jnp.max(rank[:, -1]) + 1 > max_neighbors
 
-    # exclusion mask
+    # exclusion mask — broadcast with K (not EXCL_CAP) as the minor dim:
+    # (N, EXCL_CAP, K) keeps the 128-lane axis well filled, where
+    # (N, K, EXCL_CAP) would pad a ~16-wide lane dim 8x
     excl_rows, excl_overflow = build_exclusion_rows(excl_pairs, n_pad, excl_cap)
-    excl_mask = jnp.any(nbr[:, :, None] == excl_rows[:, None, :], axis=-1)
+    excl_mask = jnp.any(nbr[:, None, :] == excl_rows[:, :, None], axis=1)
 
     if track_birth:
         now = jnp.asarray(0 if step is None else step, I32)

@@ -51,13 +51,16 @@ class CompiledReactions:
     ppnb: dict                # name -> (PB,) arrays, the ppnb_* fields
     max_nb_level: int
     atrp: dict | None         # scalar/entry arrays for ATRPActivator
-    release: dict | None      # ReleaseMolecule descriptor (dummy particles)
+    releases: list            # ReleaseMolecule descriptors (dummy particles);
+                              # FixDistances defs are ordered releases-then-
+                              # joins, so release k has fd def index k
     restrict_file: str | None # RestrictReaction connectivity map path
     restricted_reactions: list  # channel ids with connectivity whitelist
     dyn_resolution: dict      # type_id -> (alpha, final_type_id, set_state)
     rb_rows: list             # RemoveNeighboursBonds entries
     cpt: dict | None          # ChangeParticleType descriptor
-    join: dict | None         # JoinMolecule descriptor
+    joins: list               # JoinMolecule descriptors; join k has fd def
+                              # index len(releases) + k
     freeze: dict | None       # FreezeRegion descriptor
     dynamic_types: set        # type ids that change during the run
     observed_bondtypes: set
@@ -119,13 +122,13 @@ def compile_reactions(config: dict, systop: SystemTopology, bond_table_builder,
     observed_bondtypes: set = set()
     reaction_index: dict = {}
     atrp = None
-    release = None
+    releases: list = []
     restrict_file = None
     restricted_reactions: list = []
     dyn_resolution: dict = {}
     rb_rows: list = []
     cpt = None
-    join = None
+    joins: list = []
     freeze = None
     use_thermal_group = False
 
@@ -207,9 +210,7 @@ def compile_reactions(config: dict, systop: SystemTopology, bond_table_builder,
         """ReleaseMolecule (ref: reaction_post_process.py:203-320): dummy
         particles held at eq_length from each host, released on host type
         change or on reaction, lambda fade-in to final_type."""
-        nonlocal release, use_thermal_group
-        if release is not None:
-            raise NotImplementedError("only one ReleaseMolecule block supported")
+        nonlocal use_thermal_group
         host_type = options["host_type"]
         target_type = options["target_type"]
         dummy_tid = systop.add_new_atomtype("DUMMY_%d" % systop.next_type_id)
@@ -242,6 +243,7 @@ def compile_reactions(config: dict, systop: SystemTopology, bond_table_builder,
         dynamic_types.update((release["host_type"], target_tid, dummy_tid,
                               release["final_type"]))
         use_thermal_group = True
+        releases.append(release)
         return release
 
     def lower_join(options):
@@ -249,9 +251,7 @@ def compile_reactions(config: dict, systop: SystemTopology, bond_table_builder,
         particle of a reaction is captured into a FixDistances constraint as
         an invisible dummy; released back to target_type when the host's
         type changes."""
-        nonlocal join, use_thermal_group
-        if join is not None:
-            raise NotImplementedError("only one JoinMolecule block supported")
+        nonlocal use_thermal_group
         target_type = options["target_type"]
         final_type = options.get("final_type", target_type)
         dummy_tid = systop.add_new_atomtype("DUMMY_%d" % systop.next_type_id)
@@ -264,10 +264,12 @@ def compile_reactions(config: dict, systop: SystemTopology, bond_table_builder,
             "eq_length": float(options["eq_length"]),
             "init_res": float(options["init_res"]),
             "state": int(target_rec.get("state", 0)),
+            "local_idx": len(joins),
         }
         dynamic_types.update((join["host_type"], join["target_type"],
                               dummy_tid, join["final_type"]))
         use_thermal_group = True
+        joins.append(join)
         return join
 
     for group_name, group in config["reactions"].items():
@@ -372,7 +374,7 @@ def compile_reactions(config: dict, systop: SystemTopology, bond_table_builder,
                 "new_type1": type_change(t1),
                 "new_type2": type_change(t2),
                 "cnb_type": -1, "cnb_min": 0, "cnb_max": 0,
-                "release_n": 0, "release_side": 2, "join": False,
+                "release_n": 0, "release_side": 2, "join_local": -1,
                 "diss_fade": False,
                 "restricted": group_restricted,
             }
@@ -432,7 +434,7 @@ def compile_reactions(config: dict, systop: SystemTopology, bond_table_builder,
                         rb_rows.append({"reaction": ridx, **e})
                 elif kind == "join":
                     # JoinMolecule owns the type_2-side change
-                    row["join"] = True
+                    row["join_local"] = payload["local_idx"]
                     row["new_type2"] = -1
 
     r = len(channels)
@@ -462,7 +464,11 @@ def compile_reactions(config: dict, systop: SystemTopology, bond_table_builder,
         "r_release_n": col("release_n", np.int32),
         "r_release_side": col("release_side", np.int32),
         "r_restricted": col("restricted", bool),
-        "r_join": col("join", bool),
+        # fd def index of the reaction's JoinMolecule (-1 = none); defs are
+        # ordered releases-then-joins, fixed only now that all groups lowered
+        "r_join_def": np.asarray(
+            [len(releases) + c["join_local"] if c["join_local"] >= 0 else -1
+             for c in channels], np.int32),
     } if r else {}
 
     pb = len(ppnb_rows)
@@ -493,13 +499,13 @@ def compile_reactions(config: dict, systop: SystemTopology, bond_table_builder,
         max_nb_level=max([p["level"] for p in ppnb_rows]
                          + [e["level"] for e in rb_rows], default=0),
         atrp=atrp,
-        release=release,
+        releases=releases,
         restrict_file=restrict_file,
         restricted_reactions=restricted_reactions,
         dyn_resolution=dyn_resolution,
         rb_rows=rb_rows,
         cpt=cpt,
-        join=join,
+        joins=joins,
         freeze=freeze,
         dynamic_types=dynamic_types,
         observed_bondtypes=observed_bondtypes,

@@ -399,10 +399,16 @@ def apply_reaction_events(spec: SimSpec, cfg: EngineConfig, state: MDState,
         rel = mask & (rank < count)
         n = st.pos.shape[0]
         dsel = jnp.where(rel, jnp.maximum(st.fixd_dummy, 0), n)
-        # release-on-bond belongs to the ReleaseMolecule definition (index 0)
-        type_id = st.type_id.at[dsel].set(jnp.maximum(spec.fd_target_type[0], 0),
-                                          mode="drop")
-        lam = st.lam.at[dsel].set(spec.fd_release_lam[0], mode="drop")
+        # resolve each released constraint's owning definition by its dummy's
+        # type (the same discipline _fix_distances uses), so stacked
+        # ReleaseMolecule blocks each free their own dummies correctly
+        t_dummy = st.type_id[jnp.maximum(st.fixd_dummy, 0)]
+        def_idx = jnp.zeros_like(st.fixd_dummy)
+        for k in range(cfg.n_fd):
+            def_idx = jnp.where(t_dummy == spec.fd_dummy_type[k], k, def_idx)
+        type_id = st.type_id.at[dsel].set(
+            jnp.maximum(spec.fd_target_type[def_idx], 0), mode="drop")
+        lam = st.lam.at[dsel].set(spec.fd_release_lam[def_idx], mode="drop")
         return dataclasses.replace(
             st, type_id=type_id, lam=lam,
             fixd_host=jnp.where(rel, -1, st.fixd_host),
@@ -500,16 +506,19 @@ def apply_reaction_events(spec: SimSpec, cfg: EngineConfig, state: MDState,
             # constrained to the type_1 host (ref: reaction_post_process.py:322-362).
             # Every write is gated on a free constraint slot: without one the
             # particle must NOT become an unconstrained invisible ghost.
-            do_join = valid & spec.r_join[jnp.maximum(r, 0)]
+            jdef = spec.r_join_def[jnp.maximum(r, 0)]
+            jsel = jnp.maximum(jdef, 0)
+            do_join = valid & (jdef >= 0)
             nn = st.pos.shape[0]
             free = jnp.argmax(st.fixd_host < 0)
             slot_ok = do_join & (st.fixd_host[free] < 0)
             overflow = overflow | (do_join & ~slot_ok)
             bsel = jnp.where(slot_ok, jnp.maximum(b, 0), nn)
-            tid = st.type_id.at[bsel].set(jnp.maximum(spec.j_dummy_type, 0),
-                                          mode="drop")
-            lam2 = st.lam.at[bsel].set(spec.j_init_res, mode="drop")
-            chem2 = st.chem_state.at[bsel].set(spec.j_state, mode="drop")
+            tid = st.type_id.at[bsel].set(
+                jnp.maximum(spec.fd_dummy_type[jsel], 0), mode="drop")
+            lam2 = st.lam.at[bsel].set(spec.fd_capture_lam[jsel], mode="drop")
+            chem2 = st.chem_state.at[bsel].set(spec.fd_capture_state[jsel],
+                                               mode="drop")
             fh = st.fixd_host.at[jnp.where(slot_ok, free, st.fixd_host.shape[0])
                                  ].set(jnp.maximum(a, 0), mode="drop")
             fd = st.fixd_dummy.at[jnp.where(slot_ok, free, st.fixd_dummy.shape[0])

@@ -94,6 +94,26 @@ def initial_forces(spec: SimSpec, cfg: EngineConfig, state: MDState) -> MDState:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def measure_cheap(spec: SimSpec, cfg: EngineConfig, state: MDState):
+    """Per-block bookkeeping WITHOUT the force/energy recompute: conversions
+    (stop criteria), counters, overflow flag.  The full ``measure`` pass
+    reruns all forces and is gated to the energy-collect cadence by the CLI
+    (the reference's SystemMonitor likewise only evaluates energies at its
+    own visit interval, ref: start_simulation.py:728-797)."""
+    out = {
+        "conversions": observables.conversions(spec, state.type_id,
+                                               state.chem_state, state.active),
+        "overflow": state.nbr.overflow,
+        "reaction_counts": state.reaction_counts,
+        "n_bonds": jnp.sum(state.bonds.valid.astype(jnp.int32)),
+    }
+    if cfg.n_groups:
+        out["group_bonds"] = observables.group_bond_counts(state.bonds,
+                                                           cfg.n_groups)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def measure(spec: SimSpec, cfg: EngineConfig, state: MDState):
     """One fused observable pass: the SystemMonitor analog.
 

@@ -272,13 +272,13 @@ class SimSpec:
     fd_dummy_type: jnp.ndarray    # (K,) int32 dummy particle type
     fd_target_type: jnp.ndarray   # (K,) int32 type set on release
     fd_release_lam: jnp.ndarray   # (K,) float32 lambda set on release
+    fd_capture_lam: jnp.ndarray   # (K,) float32 lambda set on join capture
+    fd_capture_state: jnp.ndarray # (K,) int32 state set on join capture
     r_release_n: jnp.ndarray      # (R,) int32 constraints released per event side
     r_release_side: jnp.ndarray   # (R,) int32 SIDE_*
-    # JoinMolecule per-channel capture (ref: reaction_post_process.py:322-362)
-    r_join: jnp.ndarray           # (R,) bool — capture type_2 into a constraint
-    j_dummy_type: jnp.ndarray     # () int32
-    j_init_res: jnp.ndarray       # () float32
-    j_state: jnp.ndarray          # () int32 state set on capture
+    # JoinMolecule per-channel capture (ref: reaction_post_process.py:322-362):
+    # fd def index (releases-then-joins order) of the channel's join, -1 = none
+    r_join_def: jnp.ndarray       # (R,) int32
 
     # -- RestrictReaction connectivity whitelist (ref: reaction_setup.py:115-128):
     #    lexicographically sorted (lo, hi) int32 pairs; int32-safe for TPU

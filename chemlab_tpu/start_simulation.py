@@ -492,37 +492,46 @@ def main(argv=None):
     t_loop = time.time()
     k = 0
     global_step = int(state.step)   # nonzero when resuming from a checkpoint
+    energy_every = max(args.energy_collect // max(integrator_step, 1), 1)
     while k < sim_steps:
-        m = runner.measure(spec, cfg, state)
-        row = {"step": global_step, "time": global_step * args.dt,
-               "T": float(m["T"]) / args.kb, "ekin": float(m["ekin"]),
-               "epot": float(m["epot"])}
-        for name in built.term_names:
-            if name in m:
-                row[name] = float(m[name])
-        for kk in ("lj", "lj-tab", "coulomb", "lj14", "coulomb14"):
-            if kk in m:
-                row[kk] = float(m[kk])
+        # the full measure() reruns every force term; do it only when an
+        # energy row is due (or Arrhenius rate updates need epot each block)
+        # — per-block bookkeeping (stop criteria, overflow) is force-free
+        full_due = (k % energy_every == 0) or args.rate_arrhenius
+        if full_due:
+            m = runner.measure(spec, cfg, state)
+        else:
+            m = runner.measure_cheap(spec, cfg, state)
         conv = np.asarray(m["conversions"])
-        for oi in range(len(built.obs.keys)):
-            row[built.obs.label(oi)] = conv[oi]
-        if cfg.n_groups:
-            for gi, c in enumerate(np.asarray(m["group_bonds"])):
-                row["count_group_%d" % gi] = int(c)
-        if args.count_tuples:
-            row["n_bonds"] = int(m["n_bonds"])
-            row["n_angles"] = int(m["n_angles"])
-            row["n_dihedrals"] = int(m["n_dihedrals"])
-            row["n_excl"] = int(m["n_excl"])
-        if args.count_fix_distances and "num_fix_distances" in m:
-            row["fd_count"] = int(m["num_fix_distances"])
-        if "P" in m:
-            row["P"] = float(m["P"])
-            row["boxL"] = float(m["boxL"])
-        if "res_fpl" in m:
-            row["res_fpl"] = float(m["res_fpl"])
-        emon.row(row)
-        if k % max(args.energy_collect // max(integrator_step, 1), 1) == 0:
+        if full_due:
+            row = {"step": global_step, "time": global_step * args.dt,
+                   "T": float(m["T"]) / args.kb, "ekin": float(m["ekin"]),
+                   "epot": float(m["epot"])}
+            for name in built.term_names:
+                if name in m:
+                    row[name] = float(m[name])
+            for kk in ("lj", "lj-tab", "coulomb", "lj14", "coulomb14"):
+                if kk in m:
+                    row[kk] = float(m[kk])
+            for oi in range(len(built.obs.keys)):
+                row[built.obs.label(oi)] = conv[oi]
+            if cfg.n_groups:
+                for gi, c in enumerate(np.asarray(m["group_bonds"])):
+                    row["count_group_%d" % gi] = int(c)
+            if args.count_tuples:
+                row["n_bonds"] = int(m["n_bonds"])
+                row["n_angles"] = int(m["n_angles"])
+                row["n_dihedrals"] = int(m["n_dihedrals"])
+                row["n_excl"] = int(m["n_excl"])
+            if args.count_fix_distances and "num_fix_distances" in m:
+                row["fd_count"] = int(m["num_fix_distances"])
+            if "P" in m:
+                row["P"] = float(m["P"])
+                row["boxL"] = float(m["boxL"])
+            if "res_fpl" in m:
+                row["res_fpl"] = float(m["res_fpl"])
+            emon.row(row)
+        if k % energy_every == 0:
             shown = {kk: v for kk, v in row.items()
                      if not args.system_monitor_filter
                      or kk in args.system_monitor_filter.split(",")}
