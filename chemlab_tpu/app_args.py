@@ -83,7 +83,8 @@ def build_parser() -> ParamsArgumentParser:
                    help="Comma-separated observable labels to print")
     g.add_argument("--do_not_exclude_bonds", default=False, type=_bool)
     g.add_argument("--hooks", default=None,
-                   help="Path to hooks.py (defaults to ./hooks.py if present)")
+                   help="Path to hooks.py (defaults to ./hooks.py if present; "
+                        "'none' disables the auto-pickup)")
     g.add_argument("--profile_dir", default=None,
                    help="Write a jax profiler trace of the main loop here")
     g.add_argument("--timers", default=True, type=_bool,

@@ -344,8 +344,12 @@ def main(argv=None):
 
     state = place(state)
 
+    # --hooks none disables the ./hooks.py auto-pickup without needing a
+    # /dev/null workaround
     hooks_path = args.hooks or (
         "hooks.py" if os.path.exists("hooks.py") else None)
+    if args.hooks in ("none", "off"):
+        hooks_path = None
     hooks = _load_hooks(hooks_path)
     ctx = SimulationContext(args=args, systop=systop, built=built, state=state)
     _call_hook(hooks, "hook_postsetup_reaction", ctx)

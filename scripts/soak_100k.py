@@ -1,0 +1,86 @@
+"""100k-particle reactive soak (VERDICT r1 item 9; dacron/rim135 scale).
+
+33,334 trimers (100k particles), reactions on, long run with capacity
+regrowth handling and a final host-side topology consistency check.
+Prints JSON progress lines; the last line is the soak summary for
+SOAK_r02.md.
+
+    python scripts/soak_100k.py [--steps 20000] [--block 500]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=20000)
+    p.add_argument("--block", type=int, default=500)
+    p.add_argument("--n_mols", type=int, default=33334)
+    a = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from chemlab_tpu import testsystems
+    from chemlab_tpu.engine import build as build_mod
+    from chemlab_tpu.engine import runner
+    from chemlab_tpu.start_simulation import check_topology
+
+    built, systop, _ = testsystems.build_melt(n_mols=a.n_mols, reactive=True)
+    spec, cfg = built.spec, built.cfg
+    st = runner.initial_forces(spec, cfg, built.state)
+    st = testsystems.warmup(built, st, steps=600)
+    st = testsystems.activate_initiators(built, systop, st,
+                                         n=max(cfg.n_particles // 300, 4))
+    st = runner.run_block(spec, cfg, st, a.block)   # compile
+    jax.block_until_ready(st.pos)
+
+    print(json.dumps({"device": str(jax.devices()[0]),
+                      "n": cfg.n_particles, "steps": a.steps}), flush=True)
+    regrowths = 0
+    done = a.block      # compile block counts toward the run
+    t0 = time.perf_counter()
+    while done < a.steps:
+        st = runner.run_block(spec, cfg, st, a.block)
+        done += a.block
+        if bool(st.nbr.overflow):
+            cfg, st = build_mod.grow_neighbor_caps(cfg, spec, st)
+            regrowths += 1
+            print(json.dumps({"step": done, "regrow_to_K": cfg.max_neighbors,
+                              "cell_cap": cfg.cell_cap}), flush=True)
+        if done % (a.block * 8) == 0:
+            m = runner.measure(spec, cfg, st)
+            print(json.dumps({
+                "step": done, "T": round(float(m["T"]), 4),
+                "epot": round(float(m["epot"]), 1),
+                "events": int(m["reaction_counts"].sum()),
+                "n_bonds": int(m["n_bonds"]),
+                "pps_sofar": round(cfg.n_particles * (done - a.block)
+                                   / (time.perf_counter() - t0), 1),
+            }), flush=True)
+    wall = time.perf_counter() - t0
+    m = runner.measure(spec, cfg, st)
+    problems = check_topology(st)
+    print(json.dumps({
+        "soak_summary": {
+            "device": str(jax.devices()[0]),
+            "n_particles": cfg.n_particles,
+            "steps": done,
+            "wall_s": round(wall, 1),
+            "pps": round(cfg.n_particles * (done - a.block) / wall, 1),
+            "reaction_events": int(m["reaction_counts"].sum()),
+            "final_bonds": int(m["n_bonds"]),
+            "T": round(float(m["T"]), 4),
+            "capacity_regrowths": regrowths,
+            "overflow": bool(m["overflow"]),
+            "topology_check": "clean" if not problems else problems[:3],
+        }}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
