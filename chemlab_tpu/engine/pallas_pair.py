@@ -1,26 +1,30 @@
-"""Pallas TPU cell-tile pair-force kernel (experimental fast path).
+"""Pallas TPU cell-tile pair-force kernel (the TPU fast path).
 
 The XLA pair path gathers neighbor positions row-by-row from the Verlet list
-— irregular access that is HBM-latency-bound on TPU.  This kernel instead
-processes the cell decomposition directly with fully regular tiles:
+— random-access reads that are the measured bottleneck on TPU (v5e: ~11
+cycles/element; the (N, K) force gather plus the (N, 27*cap) rebuild gather
+dominate the step).  This kernel processes the cell decomposition directly
+with fully regular tiles instead:
 
-  - particles are binned into cells (the existing bucket build); positions,
-    types and validity are laid out cell-dense as (n_cells, cap, ...)
-  - the kernel grid is one program per cell; for its 27-stencil neighborhood
-    the (cap, 27*cap) candidate distance tile is computed in VMEM and every
-    in-range LJ/tabulated contribution is accumulated branchlessly
-  - stencil cell ids are scalar-prefetched so block index maps can stream
+  - particles are binned into cells (the existing bucket build); positions
+    and types are laid out cell-dense as (n_cells, cap, ...)
+  - the kernel grid is (cell, stencil): each program computes the
+    (cap, cap) distance tile of one cell against one of its 27 stencil
+    cells in VMEM and accumulates every in-range LJ contribution
+  - stencil cell ids are scalar-prefetched so the block index maps stream
     the neighbor-cell tiles (PrefetchScalarGridSpec)
+  - per-type-pair parameters are NOT gathered (Mosaic has no in-kernel
+    vector gather): with T types, param(i, j) = onehot(ti) @ P @ onehot(tj)
+    — two tiny MXU matmuls per parameter matrix, the TPU-native lookup
 
 Exclusions and intra-cell self pairs are handled OUTSIDE the kernel: the
 kernel computes the unexcluded all-pairs sum, and the (short) exclusion list
 is evaluated in XLA and subtracted — the standard "compute-all, subtract
 excluded" formulation that keeps the hot tile free of per-pair masks.
 
-Scope: PAIR_LJ and plain PAIR_TAB dispatch (no mixing/λ/caps/coulomb — the
-build gates the fast path to systems that need none of those; everything
-else uses the XLA path).  Periodic minimum image assumes cell edge >=
-cutoff so only adjacent cells contribute.
+Scope: PAIR_LJ only (no tabulated/mixing/lambda/caps/coulomb — the build
+gates the fast path; everything else uses the XLA path).  Periodic minimum
+image assumes cell edge >= cutoff so only adjacent cells contribute.
 """
 
 from __future__ import annotations
@@ -39,11 +43,11 @@ I32 = jnp.int32
 def supports(cfg, spec_np) -> bool:
     """Static gate: kernel handles this system's nonbonded physics."""
     kinds = spec_np["pair_kind"]
-    if ((spec_np["pair_caprad"] > 0).any()
+    if ((kinds == PAIR_TAB).any()
+            or (spec_np["pair_caprad"] > 0).any()
             or spec_np["pair_lam_scale"].any()
             or (spec_np["pair_mix_mode"] != 0).any()
-            or (spec_np["pair_pps_incr"] > 0).any()
-            or (spec_np["pair_mix_x"][kinds == PAIR_TAB] != 1.0).any()):
+            or (spec_np["pair_pps_incr"] > 0).any()):
         return False
     return True
 
@@ -62,19 +66,19 @@ def stencil_table(dims) -> np.ndarray:
     return out
 
 
-def _kernel(stencil_ref,                      # scalar prefetch (n_cells, 27)
+def _kernel(stencil_ref,                      # scalar prefetch (n_cells, S)
             cpos_ref,                         # (1, cap, 4) this cell
             ctype_ref,                        # (1, 1, cap)
             npos_ref,                         # (1, cap, 4) stencil-j cell
             ntype_ref,                        # (1, 1, cap)
-            box_ref,                          # (1, 4) SMEM-ish small
-            pk_ref, psig_ref, peps_ref, pcut_ref, pshift_ref,  # (1, T*T)
-            pta_ref,                          # (1, T*T) table ids
-            tab_ef_ref,                       # (nT, bins, 2)
-            tab_r0_ref, tab_dr_ref,           # (1, nT)
-            force_ref,                        # out (1, cap, 4)
-            energy_ref,                       # out (1, cap, 2) [lj, tab]
-            *, cap: int, n_types: int, n_bins: int):
+            box_ref,                          # (1, 4)
+            sig_ref, eps_ref, cut2_ref, shift_ref, islj_ref,  # (Tp, Tp)
+            force_ref,                        # out (1, 4, cap) — axes-major:
+                                              # Mosaic has no scatter-add, so
+                                              # the accumulate is a full-tile
+                                              # stacked add, not .at[:, ax]
+            energy_ref,                       # out (1, 1, cap) [lj]
+            *, cap: int, n_types_pad: int):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -85,7 +89,7 @@ def _kernel(stencil_ref,                      # scalar prefetch (n_cells, 27)
     xi = cpos_ref[0]                          # (cap, 4): xyz + valid flag
     xj = npos_ref[0]
     box = box_ref[0]
-    ti = ctype_ref[0, 0]                      # (cap,)
+    ti = ctype_ref[0, 0]                      # (cap,) int32
     tj = ntype_ref[0, 0]
 
     # minimum-image displacement tiles, (cap, cap) per axis
@@ -101,54 +105,54 @@ def _kernel(stencil_ref,                      # scalar prefetch (n_cells, 27)
     # self-pair suppression: kernel adds pairs with r2 == 0 nowhere
     valid &= r2 > 1e-12
     r2s = jnp.where(valid, r2, 1.0)
-    r = jnp.sqrt(r2s)
 
-    pid = ti[:, None] * n_types + tj[None, :]
-    kind = pk_ref[0, pid]
-    cut2 = pcut_ref[0, pid]
-    in_cut = valid & (r2s < cut2)
+    # type-pair parameter lookup via rank-1 one-hot contraction:
+    # P[ti, tj] = onehot(ti) @ P @ onehot(tj)^T  — MXU, no gather
+    iota = jax.lax.broadcasted_iota(I32, (cap, n_types_pad), 1)
+    ti_oh = (ti[:, None] == iota).astype(jnp.float32)     # (cap, Tp)
+    tj_oh = (tj[:, None] == iota).astype(jnp.float32)
+
+    def lut(m_ref):
+        return jnp.dot(ti_oh, jnp.dot(m_ref[...], tj_oh.T),
+                       preferred_element_type=jnp.float32)
+
+    sig = lut(sig_ref)
+    eps = lut(eps_ref)
+    cut2 = lut(cut2_ref)
+    shift = lut(shift_ref)
+    in_cut = valid & (r2s < cut2) & (lut(islj_ref) > 0.5)
 
     # ---- LJ ----
-    sig = psig_ref[0, pid]
-    eps = peps_ref[0, pid]
     s2 = (sig * sig) / r2s
     s6 = s2 * s2 * s2
-    lj_m = in_cut & (kind == PAIR_LJ)
-    e_lj = jnp.where(lj_m, 4.0 * eps * (s6 * s6 - s6) - pshift_ref[0, pid], 0.0)
-    f_lj = jnp.where(lj_m, 48.0 * eps * (s6 * s6 - 0.5 * s6) / r2s, 0.0)
+    e_lj = jnp.where(in_cut, 4.0 * eps * (s6 * s6 - s6) - shift, 0.0)
+    f_lj = jnp.where(in_cut, 48.0 * eps * (s6 * s6 - 0.5 * s6) / r2s, 0.0)
 
-    # ---- tabulated (linear interpolation on the stacked uniform grids) ----
-    tab_m = in_cut & (kind == PAIR_TAB)
-    tid = pta_ref[0, pid]
-    u = (r - tab_r0_ref[0, tid]) / tab_dr_ref[0, tid]
-    u = jnp.clip(u, 0.0, n_bins - 1.000001)
-    i0 = u.astype(jnp.int32)
-    frac = u - i0
-    e_lo = tab_ef_ref[tid, i0, 0]
-    e_hi = tab_ef_ref[tid, jnp.minimum(i0 + 1, n_bins - 1), 0]
-    f_lo = tab_ef_ref[tid, i0, 1]
-    f_hi = tab_ef_ref[tid, jnp.minimum(i0 + 1, n_bins - 1), 1]
-    e_tab = jnp.where(tab_m, e_lo * (1 - frac) + e_hi * frac, 0.0)
-    f_tab = jnp.where(tab_m, (f_lo * (1 - frac) + f_hi * frac) / r, 0.0)
+    fxyz = [jnp.sum(f_lj * d, axis=1) for d in dr]
+    upd = jnp.stack([fxyz[0], fxyz[1], fxyz[2], jnp.zeros_like(fxyz[0])],
+                    axis=0)                               # (4, cap)
+    force_ref[0] = force_ref[0] + upd
+    energy_ref[0, 0] = energy_ref[0, 0] + 0.5 * jnp.sum(e_lj, axis=1)
 
-    f_over_r = f_lj + f_tab
-    out = force_ref[0]
-    fxyz = [jnp.sum(f_over_r * d, axis=1) for d in dr]
-    force_ref[0] = out.at[:, 0].add(fxyz[0]).at[:, 1].add(fxyz[1]) \
-                      .at[:, 2].add(fxyz[2])
-    eout = energy_ref[0]
-    energy_ref[0] = eout.at[:, 0].add(0.5 * jnp.sum(e_lj, axis=1)) \
-                        .at[:, 1].add(0.5 * jnp.sum(e_tab, axis=1))
+
+def _pad_tt(a, n_types: int, pad: int):
+    """(T*T,) flat type-pair column -> (Tp, Tp) padded square matrix.
+
+    jnp (not numpy): ``a`` is a traced spec column when called under jit.
+    """
+    m = jnp.zeros((pad, pad), jnp.float32)
+    return m.at[:n_types, :n_types].set(
+        a.reshape(n_types, n_types).astype(jnp.float32))
 
 
 def cell_pair_forces(pos, type_id, active, box, buckets, stencil, spec,
                      n_types: int, cap: int, interpret: bool = False):
-    """All-pairs (minus nothing) cell-tile forces.
+    """All-pairs (minus nothing) cell-tile LJ forces.
 
-    Returns (force (N,3), e_lj scalar, e_tab scalar) over the UNexcluded
+    Returns (force (N,3), e_lj scalar, e_tab scalar == 0) over the UNexcluded
     all-pairs sum; callers subtract the exclusion-list contributions.
     ``buckets`` is (n_cells+1, cap) particle rows (-1 padded); ``stencil``
-    is (n_cells, 27) neighbor cell ids.
+    is (n_cells, S) neighbor cell ids.
     """
     from jax.experimental import pallas as pl_mod
 
@@ -167,34 +171,39 @@ def cell_pair_forces(pos, type_id, active, box, buckets, stencil, spec,
     ctype = jnp.where(slot_valid, type_id[rows], 0).astype(I32)[:, None, :]
     box4 = jnp.concatenate([box, jnp.ones(1, box.dtype)])[None, :]
 
-    n_bins = spec.nb_ef.shape[1]
-    grid_spec = pl.pallas_call(
-        functools.partial(_kernel, cap=cap, n_types=n_types, n_bins=n_bins),
-        grid_spec=pltpu_grid(n_cells, cap, spec, stencil),
+    tpad = max(8, -(-n_types // 8) * 8)
+    is_lj = (spec.pair_kind == PAIR_LJ).astype(jnp.float32)
+    params = [
+        _pad_tt(spec.pair_sig, n_types, tpad),
+        _pad_tt(spec.pair_eps, n_types, tpad),
+        _pad_tt(spec.pair_cutoff2, n_types, tpad),
+        _pad_tt(spec.pair_shift, n_types, tpad),
+        _pad_tt(is_lj, n_types, tpad),
+    ]
+
+    call = pl.pallas_call(
+        functools.partial(_kernel, cap=cap, n_types_pad=tpad),
+        grid_spec=pltpu_grid(n_cells, cap, tpad, stencil),
         out_shape=(
-            jax.ShapeDtypeStruct((n_cells, cap, 4), jnp.float32),
-            jax.ShapeDtypeStruct((n_cells, cap, 2), jnp.float32),
+            jax.ShapeDtypeStruct((n_cells, 4, cap), jnp.float32),
+            jax.ShapeDtypeStruct((n_cells, 1, cap), jnp.float32),
         ),
         interpret=interpret,
     )
-    force_c, energy_c = grid_spec(
-        stencil, cpos, ctype, cpos, ctype, box4,
-        spec.pair_kind[None, :], spec.pair_sig[None, :],
-        spec.pair_eps[None, :], spec.pair_cutoff2[None, :],
-        spec.pair_shift[None, :], spec.pair_tab_a[None, :],
-        spec.nb_ef, spec.nb_r0[None, :], spec.nb_dr[None, :])
+    force_c, energy_c = call(stencil, cpos, ctype, cpos, ctype, box4, *params)
 
-    # scatter back to particle rows
+    # scatter back to particle rows: (C, 4, cap) -> (C*cap, 3)
     force = jnp.zeros((n, 3), pos.dtype)
     flat_rows = jnp.where(slot_valid, rows, n).reshape(-1)
-    force = force.at[flat_rows].add(force_c[..., :3].reshape(-1, 3),
-                                    mode="drop")
-    e = energy_c.reshape(-1, 2)
-    e = jnp.where(slot_valid.reshape(-1)[:, None], e, 0.0)
-    return force, jnp.sum(e[:, 0]), jnp.sum(e[:, 1])
+    force = force.at[flat_rows].add(
+        force_c[:, :3, :].transpose(0, 2, 1).reshape(-1, 3), mode="drop")
+    e = energy_c.reshape(-1)
+    e = jnp.where(slot_valid.reshape(-1), e, 0.0)
+    zero = jnp.asarray(0.0, pos.dtype)
+    return force, jnp.sum(e), zero
 
 
-def pltpu_grid(n_cells, cap, spec, stencil):
+def pltpu_grid(n_cells, cap, tpad, stencil):
     from jax.experimental import pallas as pl_mod
     from jax.experimental.pallas import tpu as pltpu
 
@@ -204,23 +213,11 @@ def pltpu_grid(n_cells, cap, spec, stencil):
     def cell_map(i, j, s_ref):
         return (i, 0, 0)
 
-    def cell_map2(i, j, s_ref):
-        return (i, 0)
-
     def nbr_map(i, j, s_ref):
         return (s_ref[i, j], 0, 0)
 
-    def nbr_map2(i, j, s_ref):
-        return (s_ref[i, j], 0)
-
-    def rep(i, j, s_ref):
-        return (0,)
-
     def rep2(i, j, s_ref):
         return (0, 0)
-
-    def rep3(i, j, s_ref):
-        return (0, 0, 0)
 
     bs = pl_mod.BlockSpec
     return pltpu.PrefetchScalarGridSpec(
@@ -232,19 +229,15 @@ def pltpu_grid(n_cells, cap, spec, stencil):
             bs((1, cap, 4), nbr_map),
             bs((1, 1, cap), nbr_map),
             bs((1, 4), rep2),
-            bs((1,) + spec.pair_kind.shape, rep2),
-            bs((1,) + spec.pair_sig.shape, rep2),
-            bs((1,) + spec.pair_eps.shape, rep2),
-            bs((1,) + spec.pair_cutoff2.shape, rep2),
-            bs((1,) + spec.pair_shift.shape, rep2),
-            bs((1,) + spec.pair_tab_a.shape, rep2),
-            bs(spec.nb_ef.shape, rep3),
-            bs((1,) + spec.nb_r0.shape, rep2),
-            bs((1,) + spec.nb_dr.shape, rep2),
+            bs((tpad, tpad), rep2),
+            bs((tpad, tpad), rep2),
+            bs((tpad, tpad), rep2),
+            bs((tpad, tpad), rep2),
+            bs((tpad, tpad), rep2),
         ],
         out_specs=(
-            bs((1, cap, 4), cell_map),
-            bs((1, cap, 2), cell_map),
+            bs((1, 4, cap), cell_map),
+            bs((1, 1, cap), cell_map),
         ),
     )
 

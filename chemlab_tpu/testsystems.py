@@ -189,12 +189,16 @@ def build_melt(n_mols: int = 2000, density: float = 0.27, kT: float = 1.0,
 
 
 def warmup(built, state, steps: int = 400, max_disp: float = 0.05, kT=None,
-           seed: int = 7, **_legacy):
+           seed: int = 7, chunk: int = 100, **_legacy):
     """Resolve overlaps in a random configuration, then re-draw velocities.
 
     Displacement-capped steepest descent (each particle moves along its force
     by at most ``max_disp``) — the role the reference's warmup script plays
     (examples/atrp_lj/polymer_melt.py), but deterministic and overlap-proof.
+
+    The descent runs in fixed ``chunk``-step device programs (one compile)
+    rather than a single ``steps``-long program: at 100k+ particles a
+    multi-minute single launch can trip remote-executor deadlines.
     """
     import dataclasses
     import functools
@@ -206,8 +210,8 @@ def warmup(built, state, steps: int = 400, max_disp: float = 0.05, kT=None,
 
     spec, cfg = built.spec, built.cfg
 
-    @functools.partial(jax.jit, static_argnames=())
-    def descend(st):
+    @functools.partial(jax.jit, static_argnames=("n_steps",))
+    def descend(st, n_steps):
         def body(_, st):
             st = integrate.maybe_rebuild_neighbors(spec, cfg, st)
             force, _, _ = integrate.compute_forces(spec, cfg, st)
@@ -228,9 +232,13 @@ def warmup(built, state, steps: int = 400, max_disp: float = 0.05, kT=None,
             pos = pos - shift.astype(pos.dtype) * st.box
             return dataclasses.replace(st, pos=pos)
 
-        return jax.lax.fori_loop(0, steps, body, st)
+        return jax.lax.fori_loop(0, n_steps, body, st)
 
-    state = descend(state)
+    done = 0
+    while done < steps:
+        n_steps = min(chunk, steps - done)
+        state = descend(state, n_steps)
+        done += n_steps
     # Maxwell-Boltzmann velocities at the target temperature
     tgt = float(spec.kT) if kT is None else kT
     key = jax.random.PRNGKey(seed)

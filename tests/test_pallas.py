@@ -49,39 +49,28 @@ def test_lj_matches_xla(melt):
                                atol=2e-3, rtol=1e-4)
 
 
-def test_tabulated_matches_xla(melt):
-    """Flip the MA-ML pair to a tabulated potential; both paths read the
-    same spec, so the kernel's table branch is exercised directly."""
+def test_tabulated_systems_fall_back_to_xla(melt):
+    """The kernel is LJ-only (Mosaic has no in-kernel vector gather for
+    table interpolation): systems with tabulated pairs must be rejected by
+    the static gate so the build keeps them on the XLA path."""
     built, st = melt
     spec, cfg = built.spec, built.cfg
-    # build a table: E = LJ(sig=1, eps=0.5) shifted at rc=2.5
-    r = np.linspace(0.75, 2.5, 600)
-    eps, rc = 0.5, 2.5
-    s6 = (1.0 / r) ** 6
-    shift = 4 * eps * ((1 / rc) ** 12 - (1 / rc) ** 6)
-    e = 4 * eps * (s6 * s6 - s6) - shift
-    f = 4 * eps * (12 * s6 * s6 - 6 * s6) / r
-    from chemlab_tpu.engine import tables
-    tb = tables.TableStackBuilder(2048)
-    tb.add("<zero>", np.array([1e-3, 10.0]), np.zeros(2), np.zeros(2))
-    tid = tb.add("tab_test", r, e, f)
-    stack = tb.build()
-    t_ma, t_ml = 0, 1
     pair_kind = np.array(spec.pair_kind)
-    pair_tab = np.array(spec.pair_tab_a)
-    for p in (t_ma * cfg.n_types + t_ml, t_ml * cfg.n_types + t_ma):
-        pair_kind[p] = PAIR_TAB
-        pair_tab[p] = tid
-    spec2 = dataclasses.replace(
-        spec, pair_kind=jnp.asarray(pair_kind), pair_tab_a=jnp.asarray(pair_tab),
-        pair_tab_b=jnp.asarray(pair_tab), nb_ef=jnp.asarray(stack.ef),
-        nb_r0=jnp.asarray(stack.r0), nb_dr=jnp.asarray(stack.dr))
-
-    f_ref, e_ref = _xla_pair(spec2, cfg, st)
-    f_pal, e_lj, e_tab = _pallas_pair(spec2, cfg, st)
-    assert e_tab == pytest.approx(float(e_ref["lj-tab"]), rel=1e-4, abs=1e-3)
-    np.testing.assert_allclose(np.asarray(f_pal), np.asarray(f_ref),
-                               atol=5e-3, rtol=1e-3)
+    assert pallas_pair.supports(None, {
+        "pair_kind": pair_kind,
+        "pair_caprad": np.array(spec.pair_caprad),
+        "pair_lam_scale": np.array(spec.pair_lam_scale),
+        "pair_mix_mode": np.array(spec.pair_mix_mode),
+        "pair_pps_incr": np.array(spec.pair_pps_incr),
+    })
+    pair_kind[1] = PAIR_TAB
+    assert not pallas_pair.supports(None, {
+        "pair_kind": pair_kind,
+        "pair_caprad": np.array(spec.pair_caprad),
+        "pair_lam_scale": np.array(spec.pair_lam_scale),
+        "pair_mix_mode": np.array(spec.pair_mix_mode),
+        "pair_pps_incr": np.array(spec.pair_pps_incr),
+    })
 
 
 def test_md_step_with_pallas_path(melt):
