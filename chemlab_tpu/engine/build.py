@@ -397,9 +397,15 @@ def _pallas_enabled(opts, pair_arrays, qq_pref) -> bool:
     if qq_pref > 0:
         logger.warning("pallas pair kernel disabled: coulomb not supported")
         return False
+    if opts.barostat != "no" and opts.pressure > 0 or opts.store_pressure:
+        # virial_pressure evaluates the pair sum over the Verlet rows, which
+        # the lazy-row fast path keeps stale between reaction steps
+        logger.warning("pallas pair kernel disabled: pressure observables "
+                       "need per-step Verlet rows")
+        return False
     if not pallas_pair.supports(None, pair_arrays):
         logger.warning("pallas pair kernel disabled: unsupported pair variant "
-                       "(mixing/caps/lambda)")
+                       "(mixing/caps/lambda/tabulated)")
         return False
     return True
 
@@ -448,6 +454,8 @@ def grow_neighbor_caps(cfg: EngineConfig, spec: SimSpec, state, factor: float = 
         max_neighbors=_round_up(int(cfg.max_neighbors * factor), 8),
         cell_cap=_round_up(int(cfg.cell_cap * factor), 8),
         excl_cap=_round_up(int(cfg.excl_cap * factor), 8),
+        rx_cell_cap=_round_up(int(cfg.rx_cell_cap * factor), 8),
+        rx_k=_round_up(int(cfg.rx_k * factor), 8),
     )
     rc_skin = jnp.sqrt(jnp.max(spec.pair_cutoff2)) + spec.skin
     nbr = neighbor.build_neighbor_state(
@@ -722,6 +730,29 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
     else:
         cell_cap = opts.cell_cap
 
+    # ---- lazy-row reaction geometry (pallas fast path) ----
+    # rows are built transiently at reaction steps on a cell grid sized by
+    # the LARGEST reaction cutoff (Gaussian channels: eq + 4 sigma), clamped
+    # to the force range — the reference's candidates also come from its
+    # rc+skin VerletList, so nothing beyond rc_skin can match in either
+    # implementation
+    rc_rx = 0.0
+    if compiled and compiled.n_reactions:
+        ch = compiled.channels
+        pair_ch = ~ch["r_is_diss"]
+        if pair_ch.any():
+            hard = np.sqrt(ch["r_cutoff2"][pair_ch])
+            gauss = ch["r_eq"][pair_ch] + 4.0 * ch["r_sigma"][pair_ch]
+            rc_rx = float(np.max(np.where(ch["r_sigma"][pair_ch] > 0.0,
+                                          np.maximum(gauss, hard), hard)))
+    rc_rx = min(max(rc_rx, 0.5), rc_skin)
+    rx_dims = neighbor.choose_cell_grid(box, rc_rx,
+                                        margin=1.10 if has_barostat else 1.02)
+    rx_cell_vol = float(np.prod(box / np.asarray(rx_dims)))
+    rx_cell_cap = _round_up(max(int(density * rx_cell_vol * 3.0) + 8, 8), 8)
+    rx_k = _round_up(
+        max(int(density * 4.0 / 3.0 * math.pi * rc_rx**3 * 2.2) + 12, 16), 8)
+
     # ---- term tables ----
     bonds = TermTable.create(bond_cap, 2, b_idx, b_func, b_par, b_tl)
     angles = TermTable.create(angle_cap, 3, a_idx, a_func, a_par, a_tl)
@@ -879,6 +910,7 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
     angle_funcs = tuple(f for f in sorted(set(a_func) | set(angle_func_tt.flatten())) if f > 0)
     dih_funcs = tuple(f for f in sorted(set(d_func) | set(dih_func_tt.flatten())) if f > 0)
 
+    use_pallas = _pallas_enabled(opts, pair_arrays, qq_pref)
     cfg = EngineConfig(
         n_types=T,
         n_particles=n,
@@ -913,7 +945,12 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
         n_mix_entries=len(mix_entries),
         needs_conversions=bool(mix_entries
                                or (pair_arrays["pair_mix_mode"] == MIX_OBS).any()),
-        use_pallas=_pallas_enabled(opts, pair_arrays, qq_pref),
+        use_pallas=use_pallas,
+        lazy_rows=use_pallas,
+        rx_dims=rx_dims,
+        rx_cell_cap=rx_cell_cap,
+        rx_k=rx_k,
+        rx_rc=rc_rx,
         has_lj=bool((pair_arrays["pair_kind"] == PAIR_LJ).any()),
         has_tabulated=bool((pair_arrays["pair_kind"] == PAIR_TAB).any()),
         has_caps=bool((pair_arrays["pair_caprad"] > 0).any()

@@ -187,6 +187,13 @@ def maybe_rebuild_neighbors(spec: SimSpec, cfg: EngineConfig, state: MDState,
         trigger = jnp.asarray(True)
 
     def rebuild(st):
+        if cfg.lazy_rows:
+            # pallas cell-tile force path: only the buckets feed the forces;
+            # rows are rebuilt transiently at reaction steps (reactions.py)
+            nbr = neighbor.refresh_buckets(st.nbr, st.pos, st.box, st.active,
+                                           dims=cfg.cell_dims,
+                                           cell_cap=cfg.cell_cap)
+            return dataclasses.replace(st, nbr=nbr)
         nbr = neighbor.build_neighbor_state(
             st.pos, st.box, st.active, st.excl, rc_skin,
             dims=cfg.cell_dims, cell_cap=cfg.cell_cap,

@@ -194,6 +194,22 @@ def build_neighbor_state(pos, box, active, excl_pairs, rc_skin, *, dims, cell_ca
     )
 
 
+@functools.partial(jax.jit, static_argnames=("dims", "cell_cap"))
+def refresh_buckets(nbr: NeighborState, pos, box, active, *, dims, cell_cap):
+    """Re-bin particles into cell buckets WITHOUT rebuilding neighbor rows.
+
+    The pallas cell-tile force path consumes only the buckets; rows (and the
+    exclusion mask) are rebuilt transiently at reaction steps.  Keeps the
+    Verlet guarantee by resetting ref_pos."""
+    import dataclasses
+
+    buckets, _, overflow = build_cell_buckets(pos, box, active, dims, cell_cap)
+    return dataclasses.replace(
+        nbr, buckets=buckets, ref_pos=pos,
+        overflow=nbr.overflow | overflow,
+        n_rebuilds=nbr.n_rebuilds + 1)
+
+
 def needs_rebuild(pos, nbr: NeighborState, box, skin):
     """Verlet criterion: any displacement since rebuild exceeds skin/2."""
     dr = pos - nbr.ref_pos

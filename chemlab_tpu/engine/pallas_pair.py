@@ -67,34 +67,37 @@ def stencil_table(dims) -> np.ndarray:
 
 
 def _kernel(stencil_ref,                      # scalar prefetch (n_cells, S)
-            cpos_ref,                         # (1, cap, 4) this cell
-            ctype_ref,                        # (1, 1, cap)
-            npos_ref,                         # (1, cap, 4) stencil-j cell
-            ntype_ref,                        # (1, 1, cap)
-            box_ref,                          # (1, 4)
-            sig_ref, eps_ref, cut2_ref, shift_ref, islj_ref,  # (Tp, Tp)
-            force_ref,                        # out (1, 4, cap) — axes-major:
+            *refs,
+            cap: int, n_types_pad: int, n_stencil: int):
+    """Grid is (n_cells,): ONE program per cell computes the full
+    (cap, S*cap) candidate tile — S*cap lanes keep the 128-lane VPU filled
+    (a per-(cell, stencil) grid wastes >half the lanes on cap-wide tiles).
+
+    refs layout: cpos, ctype, S x npos, S x ntype, box,
+                 sig, eps, cut2, shift, islj, force_out, energy_out.
+    """
+    cpos_ref = refs[0]
+    ctype_ref = refs[1]
+    npos_refs = refs[2:2 + n_stencil]
+    ntype_refs = refs[2 + n_stencil:2 + 2 * n_stencil]
+    box_ref = refs[2 + 2 * n_stencil]
+    sig_ref, eps_ref, cut2_ref, shift_ref, islj_ref = \
+        refs[3 + 2 * n_stencil:8 + 2 * n_stencil]
+    force_ref = refs[8 + 2 * n_stencil]       # out (1, 4, cap) — axes-major:
                                               # Mosaic has no scatter-add, so
                                               # the accumulate is a full-tile
                                               # stacked add, not .at[:, ax]
-            energy_ref,                       # out (1, 1, cap) [lj]
-            *, cap: int, n_types_pad: int):
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _():
-        force_ref[...] = jnp.zeros_like(force_ref)
-        energy_ref[...] = jnp.zeros_like(energy_ref)
+    energy_ref = refs[9 + 2 * n_stencil]      # out (1, 1, cap) [lj]
 
     xi = cpos_ref[0]                          # (cap, 4): xyz + valid flag
-    xj = npos_ref[0]
+    xj = jnp.concatenate([r[0] for r in npos_refs], axis=0)   # (S*cap, 4)
     box = box_ref[0]
     ti = ctype_ref[0, 0]                      # (cap,) int32
-    tj = ntype_ref[0, 0]
+    tj = jnp.concatenate([r[0, 0] for r in ntype_refs], axis=0)
 
-    # minimum-image displacement tiles, (cap, cap) per axis
+    # minimum-image displacement tiles, (cap, S*cap) per axis
     dr = []
-    r2 = jnp.zeros((cap, cap), jnp.float32)
+    r2 = jnp.zeros((cap, xj.shape[0]), jnp.float32)
     for ax in range(3):
         d = xi[:, ax][:, None] - xj[:, ax][None, :]
         d = d - box[ax] * jnp.round(d / box[ax])
@@ -108,9 +111,10 @@ def _kernel(stencil_ref,                      # scalar prefetch (n_cells, S)
 
     # type-pair parameter lookup via rank-1 one-hot contraction:
     # P[ti, tj] = onehot(ti) @ P @ onehot(tj)^T  — MXU, no gather
-    iota = jax.lax.broadcasted_iota(I32, (cap, n_types_pad), 1)
-    ti_oh = (ti[:, None] == iota).astype(jnp.float32)     # (cap, Tp)
-    tj_oh = (tj[:, None] == iota).astype(jnp.float32)
+    iota_i = jax.lax.broadcasted_iota(I32, (cap, n_types_pad), 1)
+    iota_j = jax.lax.broadcasted_iota(I32, (xj.shape[0], n_types_pad), 1)
+    ti_oh = (ti[:, None] == iota_i).astype(jnp.float32)   # (cap, Tp)
+    tj_oh = (tj[:, None] == iota_j).astype(jnp.float32)   # (S*cap, Tp)
 
     def lut(m_ref):
         return jnp.dot(ti_oh, jnp.dot(m_ref[...], tj_oh.T),
@@ -129,10 +133,9 @@ def _kernel(stencil_ref,                      # scalar prefetch (n_cells, S)
     f_lj = jnp.where(in_cut, 48.0 * eps * (s6 * s6 - 0.5 * s6) / r2s, 0.0)
 
     fxyz = [jnp.sum(f_lj * d, axis=1) for d in dr]
-    upd = jnp.stack([fxyz[0], fxyz[1], fxyz[2], jnp.zeros_like(fxyz[0])],
-                    axis=0)                               # (4, cap)
-    force_ref[0] = force_ref[0] + upd
-    energy_ref[0, 0] = energy_ref[0, 0] + 0.5 * jnp.sum(e_lj, axis=1)
+    force_ref[0] = jnp.stack(
+        [fxyz[0], fxyz[1], fxyz[2], jnp.zeros_like(fxyz[0])], axis=0)
+    energy_ref[0, 0] = 0.5 * jnp.sum(e_lj, axis=1)
 
 
 def _pad_tt(a, n_types: int, pad: int):
@@ -181,8 +184,10 @@ def cell_pair_forces(pos, type_id, active, box, buckets, stencil, spec,
         _pad_tt(is_lj, n_types, tpad),
     ]
 
+    n_stencil = stencil.shape[1]
     call = pl.pallas_call(
-        functools.partial(_kernel, cap=cap, n_types_pad=tpad),
+        functools.partial(_kernel, cap=cap, n_types_pad=tpad,
+                          n_stencil=n_stencil),
         grid_spec=pltpu_grid(n_cells, cap, tpad, stencil),
         out_shape=(
             jax.ShapeDtypeStruct((n_cells, 4, cap), jnp.float32),
@@ -190,7 +195,10 @@ def cell_pair_forces(pos, type_id, active, box, buckets, stencil, spec,
         ),
         interpret=interpret,
     )
-    force_c, energy_c = call(stencil, cpos, ctype, cpos, ctype, box4, *params)
+    force_c, energy_c = call(
+        stencil, cpos, ctype,
+        *([cpos] * n_stencil), *([ctype] * n_stencil),
+        box4, *params)
 
     # scatter back to particle rows: (C, 4, cap) -> (C*cap, 3)
     force = jnp.zeros((n, 3), pos.dtype)
@@ -204,37 +212,37 @@ def cell_pair_forces(pos, type_id, active, box, buckets, stencil, spec,
 
 
 def pltpu_grid(n_cells, cap, tpad, stencil):
+    """Grid (n_cells,) with one streamed block PER STENCIL OFFSET: the same
+    cell-dense operand is passed S times, each with an index map picking that
+    offset's neighbor cell, so the kernel sees all S candidate blocks at
+    once and computes a single lane-filling (cap, S*cap) tile."""
     from jax.experimental import pallas as pl_mod
     from jax.experimental.pallas import tpu as pltpu
 
     n_stencil = stencil.shape[1]
 
     # scalar-prefetch refs arrive LAST in index_map signatures
-    def cell_map(i, j, s_ref):
+    def cell_map(i, s_ref):
         return (i, 0, 0)
 
-    def nbr_map(i, j, s_ref):
-        return (s_ref[i, j], 0, 0)
+    def nbr_map_k(k):
+        return lambda i, s_ref: (s_ref[i, k], 0, 0)
 
-    def rep2(i, j, s_ref):
+    def rep2(i, s_ref):
         return (0, 0)
 
     bs = pl_mod.BlockSpec
     return pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_cells, n_stencil),
-        in_specs=[
-            bs((1, cap, 4), cell_map),
-            bs((1, 1, cap), cell_map),
-            bs((1, cap, 4), nbr_map),
-            bs((1, 1, cap), nbr_map),
-            bs((1, 4), rep2),
-            bs((tpad, tpad), rep2),
-            bs((tpad, tpad), rep2),
-            bs((tpad, tpad), rep2),
-            bs((tpad, tpad), rep2),
-            bs((tpad, tpad), rep2),
-        ],
+        grid=(n_cells,),
+        in_specs=(
+            [bs((1, cap, 4), cell_map),
+             bs((1, 1, cap), cell_map)]
+            + [bs((1, cap, 4), nbr_map_k(k)) for k in range(n_stencil)]
+            + [bs((1, 1, cap), nbr_map_k(k)) for k in range(n_stencil)]
+            + [bs((1, 4), rep2)]
+            + [bs((tpad, tpad), rep2)] * 5
+        ),
         out_specs=(
             bs((1, 4, cap), cell_map),
             bs((1, 1, cap), cell_map),

@@ -147,15 +147,21 @@ def _channel_accept(spec: SimSpec, cfg: EngineConfig, state: MDState, seed,
     return m, u
 
 
-def match_reactions(spec: SimSpec, cfg: EngineConfig, state: MDState, seed):
+def match_reactions(spec: SimSpec, cfg: EngineConfig, state: MDState, seed,
+                    nbr_idx=None, excl_mask=None):
     """Find fired reaction events this interval.
 
     Returns (ev_valid, ev_a, ev_b, ev_r) each (max_events,): ``a`` is the
     type_1 side.  Each particle appears in at most one event.
+
+    ``nbr_idx``/``excl_mask`` override the candidate rows (the lazy-row path
+    passes freshly built reaction-geometry rows; default: state.nbr).
     """
     n = state.pos.shape[0]
     i_idx = jnp.arange(n, dtype=I32)[:, None]
-    j = state.nbr.idx
+    j = state.nbr.idx if nbr_idx is None else nbr_idx
+    if excl_mask is None:
+        excl_mask = state.nbr.excl_mask
     dr = state.pos[:, None, :] - state.pos[j]
     dr -= state.box * jnp.round(dr / state.box)
     r2 = jnp.sum(dr * dr, axis=-1)
@@ -163,7 +169,7 @@ def match_reactions(spec: SimSpec, cfg: EngineConfig, state: MDState, seed):
     # reference's VerletList is built with the exclusion list, so its
     # ChemicalReaction never sees them
     slot_valid = (j != i_idx) & state.active[:, None] & state.active[j] \
-        & ~state.nbr.excl_mask
+        & ~excl_mask
 
     big = jnp.float32(1e30)
     rs = jnp.arange(cfg.n_reactions, dtype=I32)
@@ -777,8 +783,22 @@ def reaction_step(spec: SimSpec, cfg: EngineConfig, state: MDState,
     """One ChemicalReaction invocation (every ``interval`` MD steps)."""
     seed = jnp.asarray(rng_seed, jnp.uint32)
 
-    ev_valid, ev_a, ev_b, ev_r, ev_dist = match_reactions(spec, cfg, state,
-                                                           seed)
+    rx_overflow = jnp.asarray(False)
+    if cfg.lazy_rows:
+        # lazy-row mode: rows exist only here — build them fresh on the
+        # reaction-sized cell grid (rc_rx << rc_skin makes this ~(rc ratio)^3
+        # cheaper than the force-geometry rebuild)
+        rx_nbr = neighbor.build_neighbor_state(
+            state.pos, state.box, state.active, state.excl, cfg.rx_rc,
+            dims=cfg.rx_dims, cell_cap=cfg.rx_cell_cap,
+            max_neighbors=cfg.rx_k, excl_cap=cfg.excl_cap)
+        rx_overflow = rx_nbr.overflow
+        ev_valid, ev_a, ev_b, ev_r, ev_dist = match_reactions(
+            spec, cfg, state, seed, nbr_idx=rx_nbr.idx,
+            excl_mask=rx_nbr.excl_mask)
+    else:
+        ev_valid, ev_a, ev_b, ev_r, ev_dist = match_reactions(spec, cfg,
+                                                              state, seed)
     # accepted-pair log for the pair_distances_filename dump
     # (ref: reaction_parser.py:198); refreshed every firing, read by the
     # host at block boundaries
@@ -795,6 +815,14 @@ def reaction_step(spec: SimSpec, cfg: EngineConfig, state: MDState,
             lambda st: apply_dissociation_events(spec, cfg, st, dv, drow, dr),
             lambda st: st,
             state)
+
+    if cfg.lazy_rows:
+        # the pallas force path reads buckets + the live exclusion list;
+        # there are no persistent rows to refresh
+        nbr = dataclasses.replace(
+            state.nbr,
+            overflow=state.nbr.overflow | topo_overflow | rx_overflow)
+        return dataclasses.replace(state, nbr=nbr)
 
     # topology/exclusions changed: force a neighbor rebuild
     rc_skin = jnp.sqrt(jnp.max(spec.pair_cutoff2)) + spec.skin

@@ -113,6 +113,17 @@ class EngineConfig:
                               #  ref: start_simulation.py:345-348)
     store_pressure: bool = False  # P/L observables without a barostat
                                   # (ref: start_simulation.py:466-469)
+    # -- lazy-row (pallas fast path) reaction geometry --
+    # With the cell-tile force kernel the Verlet rows are needed ONLY for
+    # reaction matching, so the per-step rebuild shrinks to a bucket refresh
+    # and rows are built transiently inside reaction_step on a SMALLER cell
+    # grid sized by the reaction cutoffs (<< force cutoff) — the dominant
+    # rebuild cost drops with (rc_rx / rc_skin)^3.
+    lazy_rows: bool = False   # rows built only at reaction steps (pallas mode)
+    rx_dims: tuple = (1, 1, 1)    # reaction cell grid
+    rx_cell_cap: int = 8
+    rx_k: int = 8             # reaction neighbor-row width
+    rx_rc: float = 0.0        # reaction candidate radius
 
 
 @_dataclass

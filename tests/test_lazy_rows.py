@@ -1,0 +1,57 @@
+"""Lazy-row fast path (cfg.lazy_rows): buckets-only per-step refresh +
+reaction-geometry rows built transiently inside reaction_step.
+
+Correctness contract: crossing a reaction interval, the lazy path must fire
+the SAME events as the XLA row path (matching is an argmin over pair keys,
+so it is candidate-order independent; rc_rx covers every channel cutoff).
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from chemlab_tpu import testsystems
+from chemlab_tpu.engine import runner
+
+
+def _prep(use_pallas):
+    built, systop, _ = testsystems.build_melt(n_mols=86, reactive=True,
+                                              max_events=16,
+                                              use_pallas=use_pallas)
+    spec, cfg = built.spec, built.cfg
+    st = runner.initial_forces(spec, cfg, built.state)
+    st = testsystems.warmup(built, st, steps=100)
+    st = testsystems.activate_initiators(built, systop, st, n=6)
+    st = dataclasses.replace(st, step=jnp.asarray(cfg.reaction_interval - 2,
+                                                  jnp.int32))
+    return built, st
+
+
+def test_lazy_rows_reaction_events_match_row_path():
+    built_x, st_x = _prep(False)
+    built_p, st_p = _prep(True)
+    assert not built_x.cfg.lazy_rows
+    assert built_p.cfg.lazy_rows
+    assert built_p.cfg.rx_rc <= 2.9
+    assert built_p.cfg.rx_dims >= built_p.cfg.cell_dims  # finer reaction grid
+
+    out_x = runner.run_block(built_x.spec, built_x.cfg, st_x, 4)
+    out_p = runner.run_block(built_p.spec, built_p.cfg, st_p, 4)
+
+    ev_x = int(jnp.sum(out_x.reaction_counts))
+    ev_p = int(jnp.sum(out_p.reaction_counts))
+    assert ev_x > 0
+    assert ev_p == ev_x
+    assert np.array_equal(np.asarray(out_x.reaction_counts),
+                          np.asarray(out_p.reaction_counts))
+    # the same bonds formed
+    def bond_set(st):
+        idx = np.asarray(st.bonds.idx)
+        ok = np.asarray(st.bonds.valid)
+        return set(map(tuple, np.sort(idx[ok], axis=1).tolist()))
+    assert bond_set(out_x) == bond_set(out_p)
+    assert not bool(out_p.nbr.overflow)
+    # trajectories agree to force-path tolerance
+    np.testing.assert_allclose(np.asarray(out_x.pos), np.asarray(out_p.pos),
+                               atol=5e-4)
