@@ -433,12 +433,6 @@ def _round_up(x, m):
     return int(-(-x // m) * m)
 
 
-def _stencil_for(cell_dims):
-    from . import pallas_pair
-
-    return pallas_pair.stencil_table(cell_dims)
-
-
 def grow_neighbor_caps(cfg: EngineConfig, spec: SimSpec, state, factor: float = 1.5):
     """Adaptive capacity regrowth after an overflow flag.
 
@@ -1019,7 +1013,6 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
         type_state=jnp.asarray([systop.top.atomtypes.get(
             systop.atomtype_atomsym.get(t, ""), {}).get("state", 0) for t in range(T)], I32),
         **{k: jnp.asarray(v) for k, v in pair_arrays.items()},
-        cell_stencil=jnp.asarray(_stencil_for(cell_dims)),
         qq_prefactor=jnp.asarray(qq_pref, F32),
         qq_cutoff2=jnp.asarray(opts.coulomb_cutoff**2, F32),
         **mix,

@@ -43,7 +43,7 @@ def compute_forces(spec: SimSpec, cfg: EngineConfig, state: MDState):
         interpret = jax.default_backend() != "tpu"
         f_all, e_lj_all, e_tab_all = pallas_pair.cell_pair_forces(
             state.pos, state.type_id, state.active, state.box,
-            state.nbr.buckets, spec.cell_stencil, spec,
+            state.nbr.buckets, cfg.cell_dims, spec,
             cfg.n_types, cfg.cell_cap, interpret=interpret)
         f_ex, e_lj_ex, e_tab_ex = pallas_pair.excluded_pair_correction(
             spec, cfg.n_types, state.pos, state.box, state.type_id, state.excl,

@@ -66,12 +66,15 @@ def stencil_table(dims) -> np.ndarray:
     return out
 
 
-def _kernel(stencil_ref,                      # scalar prefetch (n_cells, S)
-            *refs,
+def _kernel(*refs,
             cap: int, n_types_pad: int, n_stencil: int):
     """Grid is (n_cells,): ONE program per cell computes the full
     (cap, S*cap) candidate tile — S*cap lanes keep the 128-lane VPU filled
     (a per-(cell, stencil) grid wastes >half the lanes on cap-wide tiles).
+
+    Stencil cell ids are COMPUTED in the block index maps (modular
+    arithmetic on the cell index) — a prefetched (n_cells, S) table would
+    lane-pad to n_cells*128 ints in SMEM and overflow it at 100k particles.
 
     refs layout: cpos, ctype, S x npos, S x ntype, box,
                  sig, eps, cut2, shift, islj, force_out, energy_out.
@@ -93,7 +96,6 @@ def _kernel(stencil_ref,                      # scalar prefetch (n_cells, S)
     xj = jnp.concatenate([r[0] for r in npos_refs], axis=0)   # (S*cap, 4)
     box = box_ref[0]
     ti = ctype_ref[0, 0]                      # (cap,) int32
-    tj = jnp.concatenate([r[0, 0] for r in ntype_refs], axis=0)
 
     # minimum-image displacement tiles, (cap, S*cap) per axis
     dr = []
@@ -110,11 +112,15 @@ def _kernel(stencil_ref,                      # scalar prefetch (n_cells, S)
     r2s = jnp.where(valid, r2, 1.0)
 
     # type-pair parameter lookup via rank-1 one-hot contraction:
-    # P[ti, tj] = onehot(ti) @ P @ onehot(tj)^T  — MXU, no gather
+    # P[ti, tj] = onehot(ti) @ P @ onehot(tj)^T  — MXU, no gather.
+    # One-hots are built per stencil block and concatenated as 2-D tiles:
+    # Mosaic rejects lane-dim concatenation of (cap,) int vectors at
+    # non-128-aligned offsets, but sublane concat of (cap, Tp) tiles is fine
     iota_i = jax.lax.broadcasted_iota(I32, (cap, n_types_pad), 1)
-    iota_j = jax.lax.broadcasted_iota(I32, (xj.shape[0], n_types_pad), 1)
     ti_oh = (ti[:, None] == iota_i).astype(jnp.float32)   # (cap, Tp)
-    tj_oh = (tj[:, None] == iota_j).astype(jnp.float32)   # (S*cap, Tp)
+    tj_oh = jnp.concatenate(
+        [(r[0, 0][:, None] == iota_i).astype(jnp.float32)
+         for r in ntype_refs], axis=0)                    # (S*cap, Tp)
 
     def lut(m_ref):
         return jnp.dot(ti_oh, jnp.dot(m_ref[...], tj_oh.T),
@@ -148,21 +154,21 @@ def _pad_tt(a, n_types: int, pad: int):
         a.reshape(n_types, n_types).astype(jnp.float32))
 
 
-def cell_pair_forces(pos, type_id, active, box, buckets, stencil, spec,
+def cell_pair_forces(pos, type_id, active, box, buckets, dims, spec,
                      n_types: int, cap: int, interpret: bool = False):
     """All-pairs (minus nothing) cell-tile LJ forces.
 
     Returns (force (N,3), e_lj scalar, e_tab scalar == 0) over the UNexcluded
     all-pairs sum; callers subtract the exclusion-list contributions.
-    ``buckets`` is (n_cells+1, cap) particle rows (-1 padded); ``stencil``
-    is (n_cells, S) neighbor cell ids.
+    ``buckets`` is (n_cells+1, cap) particle rows (-1 padded); ``dims`` the
+    static cell-grid dims.
     """
     from jax.experimental import pallas as pl_mod
 
     global pl
     pl = pl_mod
 
-    n_cells = stencil.shape[0]
+    n_cells = int(np.prod(dims))
     n = pos.shape[0]
     rows = jnp.maximum(buckets[:n_cells], 0)                # (C, cap)
     slot_valid = (buckets[:n_cells] >= 0) & active[rows]
@@ -184,11 +190,14 @@ def cell_pair_forces(pos, type_id, active, box, buckets, stencil, spec,
         _pad_tt(is_lj, n_types, tpad),
     ]
 
-    n_stencil = stencil.shape[1]
+    from .neighbor import neighbor_cell_offsets
+
+    offsets = neighbor_cell_offsets(dims)     # (S, 3), deduplicated
+    n_stencil = offsets.shape[0]
     call = pl.pallas_call(
         functools.partial(_kernel, cap=cap, n_types_pad=tpad,
                           n_stencil=n_stencil),
-        grid_spec=pltpu_grid(n_cells, cap, tpad, stencil),
+        grid_spec=pltpu_grid(n_cells, cap, tpad, dims, offsets),
         out_shape=(
             jax.ShapeDtypeStruct((n_cells, 4, cap), jnp.float32),
             jax.ShapeDtypeStruct((n_cells, 1, cap), jnp.float32),
@@ -196,7 +205,7 @@ def cell_pair_forces(pos, type_id, active, box, buckets, stencil, spec,
         interpret=interpret,
     )
     force_c, energy_c = call(
-        stencil, cpos, ctype,
+        cpos, ctype,
         *([cpos] * n_stencil), *([ctype] * n_stencil),
         box4, *params)
 
@@ -211,35 +220,42 @@ def cell_pair_forces(pos, type_id, active, box, buckets, stencil, spec,
     return force, jnp.sum(e), zero
 
 
-def pltpu_grid(n_cells, cap, tpad, stencil):
+def pltpu_grid(n_cells, cap, tpad, dims, offsets):
     """Grid (n_cells,) with one streamed block PER STENCIL OFFSET: the same
-    cell-dense operand is passed S times, each with an index map picking that
-    offset's neighbor cell, so the kernel sees all S candidate blocks at
-    once and computes a single lane-filling (cap, S*cap) tile."""
+    cell-dense operand is passed S times, each with an index map computing
+    that offset's periodic neighbor cell from the cell index (no stencil
+    table — a prefetched one would overflow SMEM at large grids)."""
     from jax.experimental import pallas as pl_mod
-    from jax.experimental.pallas import tpu as pltpu
 
-    n_stencil = stencil.shape[1]
+    nx, ny, nz = (int(d) for d in dims)
 
-    # scalar-prefetch refs arrive LAST in index_map signatures
-    def cell_map(i, s_ref):
+    def cell_map(i):
         return (i, 0, 0)
 
-    def nbr_map_k(k):
-        return lambda i, s_ref: (s_ref[i, k], 0, 0)
+    def nbr_map_k(off):
+        dx, dy, dz = (int(o) for o in off)
 
-    def rep2(i, s_ref):
+        def m(i):
+            cx = i // (ny * nz)
+            cy = (i // nz) % ny
+            cz = i % nz
+            cid = (((cx + dx) % nx) * ny + (cy + dy) % ny) * nz \
+                + (cz + dz) % nz
+            return (cid, 0, 0)
+
+        return m
+
+    def rep2(i):
         return (0, 0)
 
     bs = pl_mod.BlockSpec
-    return pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    return pl_mod.GridSpec(
         grid=(n_cells,),
         in_specs=(
             [bs((1, cap, 4), cell_map),
              bs((1, 1, cap), cell_map)]
-            + [bs((1, cap, 4), nbr_map_k(k)) for k in range(n_stencil)]
-            + [bs((1, 1, cap), nbr_map_k(k)) for k in range(n_stencil)]
+            + [bs((1, cap, 4), nbr_map_k(off)) for off in offsets]
+            + [bs((1, 1, cap), nbr_map_k(off)) for off in offsets]
             + [bs((1, 4), rep2)]
             + [bs((tpad, tpad), rep2)] * 5
         ),

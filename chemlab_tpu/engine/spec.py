@@ -175,7 +175,6 @@ class SimSpec:
     mix_obs: jnp.ndarray
 
     # -- cell stencil for the pallas pair kernel --
-    cell_stencil: jnp.ndarray     # (n_cells, S) int32 neighbor cell ids
 
     # -- table stacks --
     nb_ef: jnp.ndarray        # (nT, bins, 2)

@@ -33,7 +33,7 @@ def _xla_pair(spec, cfg, st):
 def _pallas_pair(spec, cfg, st):
     f_all, e_lj, e_tab = pallas_pair.cell_pair_forces(
         st.pos, st.type_id, st.active, st.box, st.nbr.buckets,
-        spec.cell_stencil, spec, cfg.n_types, cfg.cell_cap, interpret=True)
+        cfg.cell_dims, spec, cfg.n_types, cfg.cell_cap, interpret=True)
     f_ex, e_lj_ex, e_tab_ex = pallas_pair.excluded_pair_correction(
         spec, cfg.n_types, st.pos, st.box, st.type_id, st.excl)
     return f_all - f_ex, float(e_lj - e_lj_ex), float(e_tab - e_tab_ex)
