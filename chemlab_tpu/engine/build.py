@@ -742,10 +742,17 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
     rc_rx = min(max(rc_rx, 0.5), rc_skin)
     rx_dims = neighbor.choose_cell_grid(box, rc_rx,
                                         margin=1.10 if has_barostat else 1.02)
+    # scale the rx caps off the FORCE-geometry caps: those carry the
+    # caller's knowledge of local densification (e.g. phase-separating
+    # melts run 3x the box-mean density), which a box-mean estimate misses
     rx_cell_vol = float(np.prod(box / np.asarray(rx_dims)))
-    rx_cell_cap = _round_up(max(int(density * rx_cell_vol * 3.0) + 8, 8), 8)
+    cell_vol_f = float(np.prod(box / np.asarray(cell_dims)))
+    rx_cell_cap = _round_up(
+        max(int(cell_cap * rx_cell_vol / cell_vol_f) + 8,
+            int(density * rx_cell_vol * 3.0) + 8, 8), 8)
     rx_k = _round_up(
-        max(int(density * 4.0 / 3.0 * math.pi * rc_rx**3 * 2.2) + 12, 16), 8)
+        max(int(max_neighbors * (rc_rx / rc_skin) ** 3) + 12,
+            int(density * 4.0 / 3.0 * math.pi * rc_rx**3 * 2.2) + 12, 16), 8)
 
     # ---- term tables ----
     bonds = TermTable.create(bond_cap, 2, b_idx, b_func, b_par, b_tl)

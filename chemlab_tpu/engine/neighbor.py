@@ -135,15 +135,19 @@ def build_neighbor_state(pos, box, active, excl_pairs, rc_skin, *, dims, cell_ca
     ncid = (nc[..., 0] * dims[1] + nc[..., 1]) * dims[2] + nc[..., 2]
     cand = buckets[ncid].reshape(n_pad, -1)  # (N, S*cap)
 
-    # squared distances with minimum image, accumulated per axis: gathering
-    # pos[(N, S*cap)] as an (N, S*cap, 3) tensor puts xyz in the lane dim,
-    # which the TPU T(8,128) layout pads 3 -> 128 (42x HBM, OOM at 100k);
-    # three (N, S*cap) 1-D gathers stay dense
+    # squared distances with minimum image, on per-axis (N, S*cap) planes.
+    # Two gather strategies (measured on v5e): ONE wide (N, S*cap, 3) gather
+    # reads 12-byte rows and is ~3x cheaper than three narrow per-axis
+    # gathers — but above ~10k particles XLA materializes it with the
+    # T(8,128) layout that pads the 3-lane dim to 128 (77 GB at 100k, OOM),
+    # so large candidate matrices fall back to the narrow per-axis form.
     cand_safe = jnp.maximum(cand, 0)
+    wide_ok = cand.shape[0] * cand.shape[1] <= 60_000_000
+    cpos = pos[cand_safe] if wide_ok else None
     d2 = jnp.zeros(cand.shape, pos.dtype)
     for ax in range(3):
-        pax = pos[:, ax]
-        d = pax[cand_safe] - pax[:, None]
+        cax = cpos[..., ax] if wide_ok else pos[:, ax][cand_safe]
+        d = cax - pos[:, ax][:, None]
         d -= box[ax] * jnp.round(d / box[ax])
         d2 += d * d
 
