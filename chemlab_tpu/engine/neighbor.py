@@ -135,19 +135,18 @@ def build_neighbor_state(pos, box, active, excl_pairs, rc_skin, *, dims, cell_ca
     ncid = (nc[..., 0] * dims[1] + nc[..., 1]) * dims[2] + nc[..., 2]
     cand = buckets[ncid].reshape(n_pad, -1)  # (N, S*cap)
 
-    # squared distances with minimum image, on per-axis (N, S*cap) planes.
-    # Two gather strategies (measured on v5e): ONE wide (N, S*cap, 3) gather
-    # reads 12-byte rows and is ~3x cheaper than three narrow per-axis
-    # gathers — but above ~10k particles XLA materializes it with the
-    # T(8,128) layout that pads the 3-lane dim to 128 (77 GB at 100k, OOM),
-    # so large candidate matrices fall back to the narrow per-axis form.
+    # squared distances with minimum image, accumulated on per-axis
+    # (N, S*cap) planes with three narrow 1-D gathers.  A single wide
+    # (N, S*cap, 3) gather reads 12-byte rows and measured ~3x cheaper on
+    # v5e at 10k — but beyond ~tens of millions of candidates XLA
+    # materializes the fusion with the T(8,128) layout that pads the 3-lane
+    # dim to 128 (observed 22-77 GB allocations, OOM), and the switch point
+    # is not predictable from shape alone, so the dense form is used
+    # unconditionally.
     cand_safe = jnp.maximum(cand, 0)
-    wide_ok = cand.shape[0] * cand.shape[1] <= 60_000_000
-    cpos = pos[cand_safe] if wide_ok else None
     d2 = jnp.zeros(cand.shape, pos.dtype)
     for ax in range(3):
-        cax = cpos[..., ax] if wide_ok else pos[:, ax][cand_safe]
-        d = cax - pos[:, ax][:, None]
+        d = pos[:, ax][cand_safe] - pos[:, ax][:, None]
         d -= box[ax] * jnp.round(d / box[ax])
         d2 += d * d
 
