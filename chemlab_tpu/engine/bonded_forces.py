@@ -64,8 +64,17 @@ def _safe_vec(dr, valid, axis_unit):
 
 
 def _resolve(table: TermTable, gathered_func, gathered_par):
-    func = jnp.where(table.typelookup, gathered_func, table.func)
-    par = jnp.where(table.typelookup[:, None], gathered_par, table.params)
+    """Per-row potential: typelookup rows re-resolve by the CURRENT type
+    signature (the TopologyManager discipline for dynamic types); a lookup
+    MISS (func 0 — e.g. a type combination with no [bondtypes] entry after
+    a reaction changed a particle's type) falls back to the row's static
+    potential instead of silently zeroing the bond — in the reference,
+    terms keep their original FixedPairList potential unless a registered
+    entry replaces it, and a forceless bond lets the excluded pair collapse
+    to r=0 (observed: f32 cancellation blow-up in the cell-tile path)."""
+    use_lut = table.typelookup & (gathered_func > 0)
+    func = jnp.where(use_lut, gathered_func, table.func)
+    par = jnp.where(use_lut[:, None], gathered_par, table.params)
     return func, par
 
 

@@ -290,10 +290,16 @@ def excluded_pair_correction(spec, n_types, pos, box, type_id, excl,
 
     sig = spec.pair_sig[pid]
     eps = spec.pair_eps[pid]
-    s6 = ((sig * sig) / r2s) ** 3
+    # EXACTLY the kernel's op sequence (s2 then s2*s2*s2, literal 4.0/48.0):
+    # the subtraction must cancel the kernel's contribution to the last
+    # f32 ulp — any algebraic difference leaves eps*|F| of spurious force,
+    # which is ruinous if an excluded pair ever sits at short range
+    s2 = (sig * sig) / r2s
+    s6 = s2 * s2 * s2
     lj_m = in_cut & (kind == PAIR_LJ)
-    e_lj = jnp.where(lj_m, 4 * eps * (s6 * s6 - s6) - spec.pair_shift[pid], 0.0)
-    f_lj = jnp.where(lj_m, 48 * eps * (s6 * s6 - 0.5 * s6) / r2s, 0.0)
+    e_lj = jnp.where(lj_m, 4.0 * eps * (s6 * s6 - s6) - spec.pair_shift[pid],
+                     0.0)
+    f_lj = jnp.where(lj_m, 48.0 * eps * (s6 * s6 - 0.5 * s6) / r2s, 0.0)
 
     from . import tables as tables_mod
 
