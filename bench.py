@@ -66,7 +66,13 @@ def main():
     from chemlab_tpu import testsystems
     from chemlab_tpu.engine import runner
 
-    built, systop, _ = testsystems.build_melt(n_mols=n_mols, reactive=True)
+    # TPU: the pallas cell-tile + lazy-row fast path (measured 2.6x the XLA
+    # Verlet-row path at 10k on v5e); CPU keeps the row path (interpret-mode
+    # pallas is slower). BENCH_NO_PALLAS=1 forces the row path anywhere.
+    want_pallas = (backend == "tpu"
+                   and not os.environ.get("BENCH_NO_PALLAS"))
+    built, systop, _ = testsystems.build_melt(n_mols=n_mols, reactive=True,
+                                              use_pallas=want_pallas)
     spec, cfg = built.spec, built.cfg
     state = runner.initial_forces(spec, cfg, built.state)
     state = testsystems.warmup(built, state, steps=600)
@@ -116,6 +122,7 @@ def main():
             "reaction_events_per_s": round(events_timed / dt, 2),
             "device": str(jax.devices()[0]),
             "backend": backend,
+            "pallas": bool(cfg.use_pallas),
             "overflow": bool(m["overflow"]),
         },
     }
