@@ -132,11 +132,19 @@ def _kernel(*refs,
     shift = lut(shift_ref)
     in_cut = valid & (r2s < cut2) & (lut(islj_ref) > 0.5)
 
-    # ---- LJ ----
-    s2 = (sig * sig) / r2s
+    # ---- LJ, soft-cored below 0.75 sigma ----
+    # The all-pairs-minus-excluded formulation evaluates EXCLUDED pairs too;
+    # an excluded pair may legitimately sit near r=0 (an angle-less 1-3 pair
+    # folding back), where unclamped LJ is inf and inf - inf = NaN destroys
+    # the system.  Clamping r^2 at (0.75 sigma)^2 in BOTH the kernel and the
+    # correction keeps the cancelled value finite (~2.4e3 eps) so the
+    # subtraction noise stays ~1e-4 of thermal forces.  Real (non-excluded)
+    # pairs essentially never visit r < 0.75 sigma in an equilibrated run.
+    r2c = jnp.maximum(r2s, 0.5625 * (sig * sig))
+    s2 = (sig * sig) / r2c
     s6 = s2 * s2 * s2
     e_lj = jnp.where(in_cut, 4.0 * eps * (s6 * s6 - s6) - shift, 0.0)
-    f_lj = jnp.where(in_cut, 48.0 * eps * (s6 * s6 - 0.5 * s6) / r2s, 0.0)
+    f_lj = jnp.where(in_cut, 48.0 * eps * (s6 * s6 - 0.5 * s6) / r2c, 0.0)
 
     fxyz = [jnp.sum(f_lj * d, axis=1) for d in dr]
     force_ref[0] = jnp.stack(
@@ -290,16 +298,17 @@ def excluded_pair_correction(spec, n_types, pos, box, type_id, excl,
 
     sig = spec.pair_sig[pid]
     eps = spec.pair_eps[pid]
-    # EXACTLY the kernel's op sequence (s2 then s2*s2*s2, literal 4.0/48.0):
-    # the subtraction must cancel the kernel's contribution to the last
-    # f32 ulp — any algebraic difference leaves eps*|F| of spurious force,
-    # which is ruinous if an excluded pair ever sits at short range
-    s2 = (sig * sig) / r2s
+    # EXACTLY the kernel's op sequence (0.75-sigma soft-core clamp, s2 then
+    # s2*s2*s2, literal 4.0/48.0): the subtraction must cancel the kernel's
+    # contribution to the last f32 ulp — any algebraic difference leaves
+    # eps*|F| of spurious force on every excluded pair
+    r2c = jnp.maximum(r2s, 0.5625 * (sig * sig))
+    s2 = (sig * sig) / r2c
     s6 = s2 * s2 * s2
     lj_m = in_cut & (kind == PAIR_LJ)
     e_lj = jnp.where(lj_m, 4.0 * eps * (s6 * s6 - s6) - spec.pair_shift[pid],
                      0.0)
-    f_lj = jnp.where(lj_m, 48.0 * eps * (s6 * s6 - 0.5 * s6) / r2s, 0.0)
+    f_lj = jnp.where(lj_m, 48.0 * eps * (s6 * s6 - 0.5 * s6) / r2c, 0.0)
 
     from . import tables as tables_mod
 

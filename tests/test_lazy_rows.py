@@ -15,29 +15,31 @@ from chemlab_tpu import testsystems
 from chemlab_tpu.engine import runner
 
 
-def _prep(use_pallas):
-    built, systop, _ = testsystems.build_melt(n_mols=86, reactive=True,
-                                              max_events=16,
-                                              use_pallas=use_pallas)
-    spec, cfg = built.spec, built.cfg
-    st = runner.initial_forces(spec, cfg, built.state)
-    st = testsystems.warmup(built, st, steps=100)
-    st = testsystems.activate_initiators(built, systop, st, n=6)
-    st = dataclasses.replace(st, step=jnp.asarray(cfg.reaction_interval - 2,
-                                                  jnp.int32))
-    return built, st
-
-
 def test_lazy_rows_reaction_events_match_row_path():
-    built_x, st_x = _prep(False)
-    built_p, st_p = _prep(True)
-    assert not built_x.cfg.lazy_rows
-    assert built_p.cfg.lazy_rows
-    assert built_p.cfg.rx_rc <= 2.9
-    assert built_p.cfg.rx_dims >= built_p.cfg.cell_dims  # finer reaction grid
+    # warm up ONCE (row path) and drive the same settled state through both
+    # configs: the pallas soft-core clamp makes warmup-from-overlaps
+    # legitimately path-dependent, so each arm warming itself would only
+    # compare two different configurations
+    built_x, systop, _ = testsystems.build_melt(n_mols=86, reactive=True,
+                                                max_events=16,
+                                                use_pallas=False)
+    built_p, _, _ = testsystems.build_melt(n_mols=86, reactive=True,
+                                           max_events=16, use_pallas=True)
+    spec, cfg_x = built_x.spec, built_x.cfg
+    cfg_p = built_p.cfg
+    assert not cfg_x.lazy_rows
+    assert cfg_p.lazy_rows
+    assert cfg_p.rx_rc <= 2.9
+    assert cfg_p.rx_dims >= cfg_p.cell_dims  # finer reaction grid
 
-    out_x = runner.run_block(built_x.spec, built_x.cfg, st_x, 4)
-    out_p = runner.run_block(built_p.spec, built_p.cfg, st_p, 4)
+    st = runner.initial_forces(spec, cfg_x, built_x.state)
+    st = testsystems.warmup(built_x, st, steps=100)
+    st = testsystems.activate_initiators(built_x, systop, st, n=6)
+    st = dataclasses.replace(st, step=jnp.asarray(cfg_x.reaction_interval - 2,
+                                                  jnp.int32))
+
+    out_x = runner.run_block(spec, cfg_x, st, 4)
+    out_p = runner.run_block(built_p.spec, cfg_p, st, 4)
 
     ev_x = int(jnp.sum(out_x.reaction_counts))
     ev_p = int(jnp.sum(out_p.reaction_counts))
