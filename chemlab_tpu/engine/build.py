@@ -702,6 +702,11 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
     has_barostat = opts.barostat != "no" and opts.pressure > 0
     cell_dims = neighbor.choose_cell_grid(box, rc_skin,
                                           margin=1.10 if has_barostat else 1.02)
+    fudge_qq = (opts.fudge_qq if opts.fudge_qq is not None
+                else systop.defaults.get("fudgeQQ", 1.0))
+    from ..units import COULOMB_PREFACTOR
+    qq_pref = COULOMB_PREFACTOR * fudge_qq if opts.coulomb_cutoff > 0 else 0.0
+    use_pallas = _pallas_enabled(opts, pair_arrays, qq_pref)
     # observed initial occupancies (host, cheap): caps must hold for the
     # starting configuration AND leave headroom for reactive densification
     frac = np.mod(coords.pos, box) / box
@@ -717,10 +722,15 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
     else:
         max_neighbors = opts.max_neighbors
     if opts.cell_cap is None:
-        # 3x mean occupancy: polymerizing systems develop dense pockets
+        # headroom over mean occupancy: polymerizing systems develop dense
+        # pockets.  The cell-tile kernel's cost scales with cell_cap^2 and
+        # regrowth-on-overflow recompiles cheaply, so the pallas path runs
+        # tight (1.7x mean); the row path's rebuild scales only linearly in
+        # cap and keeps the fat 3x margin to avoid recompiles.
+        occ_factor = 1.7 if use_pallas else 3.0
         cell_vol = float(np.prod(box / np.asarray(cell_dims)))
-        cell_cap = _round_up(max(int(density * cell_vol * 3.0) + 12,
-                                 int(obs_cell_max * 1.5) + 4, 8), 8)
+        cell_cap = _round_up(max(int(density * cell_vol * occ_factor) + 8,
+                                 int(obs_cell_max * 1.3) + 4, 8), 8)
     else:
         cell_cap = opts.cell_cap
 
@@ -847,10 +857,6 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
     if freeze_d:
         thermal_mask[freeze_d["final_type"]] = False
 
-    fudge_qq = opts.fudge_qq if opts.fudge_qq is not None else systop.defaults.get("fudgeQQ", 1.0)
-    from ..units import COULOMB_PREFACTOR
-    qq_pref = COULOMB_PREFACTOR * fudge_qq if opts.coulomb_cutoff > 0 else 0.0
-
     # ---- reaction arrays ----
     if compiled and compiled.n_reactions:
         r_arrays = {k: jnp.asarray(v) for k, v in compiled.channels.items()}
@@ -911,7 +917,6 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
     angle_funcs = tuple(f for f in sorted(set(a_func) | set(angle_func_tt.flatten())) if f > 0)
     dih_funcs = tuple(f for f in sorted(set(d_func) | set(dih_func_tt.flatten())) if f > 0)
 
-    use_pallas = _pallas_enabled(opts, pair_arrays, qq_pref)
     cfg = EngineConfig(
         n_types=T,
         n_particles=n,

@@ -180,8 +180,9 @@ def build_melt(n_mols: int = 2000, density: float = 0.27, kT: float = 1.0,
     opts_kw = dict(lj_cutoff=2.5, cg_cutoff=2.5, skin=0.4, dt=0.0025, kT=kT,
                    thermostat="lv", thermostat_gamma=1.0, gen_velocity=True,
                    rng_seed=seed,
-                   max_neighbors=-(-k_liq // 8) * 8,
-                   cell_cap=-(-int(rho_liq * (rc_skin * 1.2)**3 * 1.3) // 8) * 8)
+                   max_neighbors=-(-k_liq // 8) * 8)
+    # cell_cap left to the build heuristics: the pallas kernel's cost scales
+    # with cell_cap^2, and regrowth-on-overflow covers droplet densification
     opts_kw.update(opt_overrides)
     opts = build.SimOptions(**opts_kw)
     built = build.build_system(systop, coords, opts, reaction_config=rcfg)

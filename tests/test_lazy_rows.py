@@ -38,8 +38,18 @@ def test_lazy_rows_reaction_events_match_row_path():
     st = dataclasses.replace(st, step=jnp.asarray(cfg_x.reaction_interval - 2,
                                                   jnp.int32))
 
+    # transplant the warmed state into the pallas config's neighbor geometry
+    # (its tighter cell_cap gives differently shaped buckets)
+    from chemlab_tpu.engine import neighbor
+    rc_skin = float(jnp.sqrt(jnp.max(spec.pair_cutoff2)) + spec.skin)
+    nbr_p = neighbor.build_neighbor_state(
+        st.pos, st.box, st.active, st.excl, rc_skin,
+        dims=cfg_p.cell_dims, cell_cap=cfg_p.cell_cap,
+        max_neighbors=cfg_p.max_neighbors, excl_cap=cfg_p.excl_cap)
+    st_p = dataclasses.replace(st, nbr=nbr_p)
+
     out_x = runner.run_block(spec, cfg_x, st, 4)
-    out_p = runner.run_block(built_p.spec, cfg_p, st, 4)
+    out_p = runner.run_block(built_p.spec, cfg_p, st_p, 4)
 
     ev_x = int(jnp.sum(out_x.reaction_counts))
     ev_p = int(jnp.sum(out_p.reaction_counts))
