@@ -757,12 +757,14 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
     # melts run 3x the box-mean density), which a box-mean estimate misses
     rx_cell_vol = float(np.prod(box / np.asarray(rx_dims)))
     cell_vol_f = float(np.prod(box / np.asarray(cell_dims)))
+    # tight caps: the rx build cost is linear in rx_cell_cap (27*cap
+    # candidates per particle) and regrowth-on-overflow is the backstop
     rx_cell_cap = _round_up(
-        max(int(cell_cap * rx_cell_vol / cell_vol_f) + 8,
-            int(density * rx_cell_vol * 3.0) + 8, 8), 8)
+        max(int(cell_cap * rx_cell_vol / cell_vol_f) + 4,
+            int(density * rx_cell_vol * 2.0) + 4, 8), 8)
     rx_k = _round_up(
-        max(int(max_neighbors * (rc_rx / rc_skin) ** 3) + 12,
-            int(density * 4.0 / 3.0 * math.pi * rc_rx**3 * 2.2) + 12, 16), 8)
+        max(int(max_neighbors * (rc_rx / rc_skin) ** 3) + 8,
+            int(density * 4.0 / 3.0 * math.pi * rc_rx**3 * 2.0) + 8, 16), 8)
 
     # ---- term tables ----
     bonds = TermTable.create(bond_cap, 2, b_idx, b_func, b_par, b_tl)
@@ -953,6 +955,11 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
                                or (pair_arrays["pair_mix_mode"] == MIX_OBS).any()),
         use_pallas=use_pallas,
         lazy_rows=use_pallas,
+        uniform_lj=bool(
+            (pair_arrays["pair_kind"] == PAIR_LJ).all()
+            and all(np.unique(pair_arrays[k]).size == 1
+                    for k in ("pair_sig", "pair_eps", "pair_cutoff2",
+                              "pair_shift"))),
         rx_dims=rx_dims,
         rx_cell_cap=rx_cell_cap,
         rx_k=rx_k,

@@ -44,10 +44,11 @@ def compute_forces(spec: SimSpec, cfg: EngineConfig, state: MDState):
         f_all, e_lj_all, e_tab_all = pallas_pair.cell_pair_forces(
             state.pos, state.type_id, state.active, state.box,
             state.nbr.buckets, cfg.cell_dims, spec,
-            cfg.n_types, cfg.cell_cap, interpret=interpret)
+            cfg.n_types, cfg.cell_cap, interpret=interpret,
+            uniform_lj=cfg.uniform_lj)
         f_ex, e_lj_ex, e_tab_ex = pallas_pair.excluded_pair_correction(
             spec, cfg.n_types, state.pos, state.box, state.type_id, state.excl,
-            active=state.active)
+            active=state.active, has_tab=cfg.has_tabulated)
         f_pair = f_all - f_ex
         e_pair = {"lj": e_lj_all - e_lj_ex, "lj-tab": e_tab_all - e_tab_ex,
                   "coulomb": jnp.asarray(0.0, state.pos.dtype)}

@@ -67,7 +67,8 @@ def stencil_table(dims) -> np.ndarray:
 
 
 def _kernel(*refs,
-            cap: int, n_types_pad: int, n_stencil: int):
+            cap: int, n_types_pad: int, n_stencil: int,
+            uniform_lj: bool = False):
     """Grid is (n_cells,): ONE program per cell computes the full
     (cap, S*cap) candidate tile — S*cap lanes keep the 128-lane VPU filled
     (a per-(cell, stencil) grid wastes >half the lanes on cap-wide tiles).
@@ -111,26 +112,37 @@ def _kernel(*refs,
     valid &= r2 > 1e-12
     r2s = jnp.where(valid, r2, 1.0)
 
-    # type-pair parameter lookup via rank-1 one-hot contraction:
-    # P[ti, tj] = onehot(ti) @ P @ onehot(tj)^T  — MXU, no gather.
-    # One-hots are built per stencil block and concatenated as 2-D tiles:
-    # Mosaic rejects lane-dim concatenation of (cap,) int vectors at
-    # non-128-aligned offsets, but sublane concat of (cap, Tp) tiles is fine
-    iota_i = jax.lax.broadcasted_iota(I32, (cap, n_types_pad), 1)
-    ti_oh = (ti[:, None] == iota_i).astype(jnp.float32)   # (cap, Tp)
-    tj_oh = jnp.concatenate(
-        [(r[0, 0][:, None] == iota_i).astype(jnp.float32)
-         for r in ntype_refs], axis=0)                    # (S*cap, Tp)
+    if uniform_lj:
+        # every pair is LJ with the same parameters: scalar broadcast skips
+        # both one-hot contractions and all five MXU lookups (~half the
+        # kernel flops on parameter-uniform systems)
+        sig = sig_ref[0, 0]
+        eps = eps_ref[0, 0]
+        cut2 = cut2_ref[0, 0]
+        shift = shift_ref[0, 0]
+        in_cut = valid & (r2s < cut2)
+    else:
+        # type-pair parameter lookup via rank-1 one-hot contraction:
+        # P[ti, tj] = onehot(ti) @ P @ onehot(tj)^T  — MXU, no gather.
+        # One-hots are built per stencil block and concatenated as 2-D
+        # tiles: Mosaic rejects lane-dim concatenation of (cap,) int vectors
+        # at non-128-aligned offsets, but sublane concat of (cap, Tp) tiles
+        # is fine
+        iota_i = jax.lax.broadcasted_iota(I32, (cap, n_types_pad), 1)
+        ti_oh = (ti[:, None] == iota_i).astype(jnp.float32)   # (cap, Tp)
+        tj_oh = jnp.concatenate(
+            [(r[0, 0][:, None] == iota_i).astype(jnp.float32)
+             for r in ntype_refs], axis=0)                    # (S*cap, Tp)
 
-    def lut(m_ref):
-        return jnp.dot(ti_oh, jnp.dot(m_ref[...], tj_oh.T),
-                       preferred_element_type=jnp.float32)
+        def lut(m_ref):
+            return jnp.dot(ti_oh, jnp.dot(m_ref[...], tj_oh.T),
+                           preferred_element_type=jnp.float32)
 
-    sig = lut(sig_ref)
-    eps = lut(eps_ref)
-    cut2 = lut(cut2_ref)
-    shift = lut(shift_ref)
-    in_cut = valid & (r2s < cut2) & (lut(islj_ref) > 0.5)
+        sig = lut(sig_ref)
+        eps = lut(eps_ref)
+        cut2 = lut(cut2_ref)
+        shift = lut(shift_ref)
+        in_cut = valid & (r2s < cut2) & (lut(islj_ref) > 0.5)
 
     # ---- LJ, soft-cored below 0.75 sigma ----
     # The all-pairs-minus-excluded formulation evaluates EXCLUDED pairs too;
@@ -163,7 +175,8 @@ def _pad_tt(a, n_types: int, pad: int):
 
 
 def cell_pair_forces(pos, type_id, active, box, buckets, dims, spec,
-                     n_types: int, cap: int, interpret: bool = False):
+                     n_types: int, cap: int, interpret: bool = False,
+                     uniform_lj: bool = False):
     """All-pairs (minus nothing) cell-tile LJ forces.
 
     Returns (force (N,3), e_lj scalar, e_tab scalar == 0) over the UNexcluded
@@ -204,7 +217,7 @@ def cell_pair_forces(pos, type_id, active, box, buckets, dims, spec,
     n_stencil = offsets.shape[0]
     call = pl.pallas_call(
         functools.partial(_kernel, cap=cap, n_types_pad=tpad,
-                          n_stencil=n_stencil),
+                          n_stencil=n_stencil, uniform_lj=uniform_lj),
         grid_spec=pltpu_grid(n_cells, cap, tpad, dims, offsets),
         out_shape=(
             jax.ShapeDtypeStruct((n_cells, 4, cap), jnp.float32),
@@ -275,7 +288,7 @@ def pltpu_grid(n_cells, cap, tpad, dims, offsets):
 
 
 def excluded_pair_correction(spec, n_types, pos, box, type_id, excl,
-                             active=None):
+                             active=None, has_tab: bool = True):
     """Energy/force of the exclusion-list pairs, to subtract from the
     all-pairs kernel result (computed in plain XLA; the list is short)."""
     i = excl[:, 0]
@@ -310,13 +323,17 @@ def excluded_pair_correction(spec, n_types, pos, box, type_id, excl,
                      0.0)
     f_lj = jnp.where(lj_m, 48.0 * eps * (s6 * s6 - 0.5 * s6) / r2c, 0.0)
 
-    from . import tables as tables_mod
+    if has_tab:
+        from . import tables as tables_mod
 
-    tab_m = in_cut & (kind == PAIR_TAB)
-    e_t, f_t = tables_mod.interpolate(spec.nb_ef, spec.nb_r0, spec.nb_dr,
-                                      spec.pair_tab_a[pid], r)
-    e_tab = jnp.where(tab_m, e_t, 0.0)
-    f_tab = jnp.where(tab_m, f_t / r, 0.0)
+        tab_m = in_cut & (kind == PAIR_TAB)
+        e_t, f_t = tables_mod.interpolate(spec.nb_ef, spec.nb_r0, spec.nb_dr,
+                                          spec.pair_tab_a[pid], r)
+        e_tab = jnp.where(tab_m, e_t, 0.0)
+        f_tab = jnp.where(tab_m, f_t / r, 0.0)
+    else:
+        e_tab = jnp.zeros_like(e_lj)
+        f_tab = jnp.zeros_like(f_lj)
 
     f_over_r = (f_lj + f_tab)[:, None] * d
     n = pos.shape[0]

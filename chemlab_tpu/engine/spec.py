@@ -120,6 +120,9 @@ class EngineConfig:
     # grid sized by the reaction cutoffs (<< force cutoff) — the dominant
     # rebuild cost drops with (rc_rx / rc_skin)^3.
     lazy_rows: bool = False   # rows built only at reaction steps (pallas mode)
+    uniform_lj: bool = False  # every type pair is PAIR_LJ with identical
+                              # sig/eps/cutoff/shift: the kernel skips the
+                              # one-hot parameter contractions entirely
     rx_dims: tuple = (1, 1, 1)    # reaction cell grid
     rx_cell_cap: int = 8
     rx_k: int = 8             # reaction neighbor-row width

@@ -21,6 +21,8 @@ def main():
     p.add_argument("--steps", type=int, default=20000)
     p.add_argument("--block", type=int, default=500)
     p.add_argument("--n_mols", type=int, default=33334)
+    p.add_argument("--pallas", type=int, default=-1,
+                   help="1/0 force; -1 = auto (on when the backend is TPU)")
     a = p.parse_args()
 
     import jax
@@ -31,7 +33,10 @@ def main():
     from chemlab_tpu.engine import runner
     from chemlab_tpu.start_simulation import check_topology
 
-    built, systop, _ = testsystems.build_melt(n_mols=a.n_mols, reactive=True)
+    use_pallas = (jax.default_backend() == "tpu" if a.pallas < 0
+                  else bool(a.pallas))
+    built, systop, _ = testsystems.build_melt(n_mols=a.n_mols, reactive=True,
+                                              use_pallas=use_pallas)
     spec, cfg = built.spec, built.cfg
     st = runner.initial_forces(spec, cfg, built.state)
     st = testsystems.warmup(built, st, steps=600)
