@@ -389,7 +389,13 @@ def _pallas_enabled(opts, pair_arrays, qq_pref) -> bool:
 
     want = opts.use_pallas
     if want is None:
-        want = _os.environ.get("CHEMLAB_PALLAS", "0") == "1"
+        env = _os.environ.get("CHEMLAB_PALLAS")
+        if env is not None:
+            want = env == "1"
+        else:
+            # default: fast path on TPU, row path elsewhere (interpret-mode
+            # pallas is slower than XLA on CPU)
+            want = jax.default_backend() == "tpu"
     if not want:
         return False
     from . import pallas_pair
