@@ -338,9 +338,11 @@ def _apply_events_batched(spec: SimSpec, cfg: EngineConfig, state: MDState,
     writes and term generation are conflict-free and can run as single
     batched table appends.  One case needs care: a dihedral spanning TWO new
     edges joined by one old edge would be enumerated by both owning events
-    when generation runs against the final adjacency — the family-3 copy
-    (far terminal edge is the other event's new bond) is masked via a
-    per-particle partner array, keeping exactly the family-2 copy.
+    when generation runs against the final adjacency — each copy lands in
+    family 2 or family 3 depending on that event's (a,b) orientation, so
+    duplicates are detected orientation-independently via a per-particle
+    partner array and broken by keeping the copy owned by the event whose
+    bond has the smaller min endpoint index.
 
     The 128-event lax.scan measured 3.05 s per reaction step at 100k on
     v5e (each iteration full-table copies); this path is two orders cheaper.
@@ -373,8 +375,13 @@ def _apply_events_batched(spec: SimSpec, cfg: EngineConfig, state: MDState,
                 cand = st.adj[jnp.maximum(frontier, 0)].reshape(E, -1)
                 cv = jnp.repeat(frontier_v, st.adj.shape[1], axis=1)
                 cv &= cand >= 0
-                # exact distance: drop anything already at a smaller level
-                cv &= ~jnp.any(cand[:, :, None] == seen[:, None, :], axis=2)
+                # exact distance: drop anything already at a smaller level.
+                # Gate on seen_v: invalid frontier padding is clamped to
+                # particle 0 before the adj gather, so adj[0]'s real ids sit
+                # in `seen` with a False validity bit and must not suppress
+                # genuine level>=2 candidates bonded to particle 0.
+                cv &= ~jnp.any((cand[:, :, None] == seen[:, None, :])
+                               & seen_v[:, None, :], axis=2)
                 level_sets.append((cand, cv))
                 seen = jnp.concatenate([seen, cand], axis=1)
                 seen_v = jnp.concatenate([seen_v, cv], axis=1)
@@ -460,12 +467,26 @@ def _apply_events_batched(spec: SimSpec, cfg: EngineConfig, state: MDState,
         lambda a, b: topo.enumerate_new_dihedrals(state.adj, a, b))(ac, bc)
     dih_v &= make_bond[:, None]
     deg2 = state.adj.shape[1] ** 2
-    # family-3 rows ([2*deg^2:3*deg^2) per event) duplicate another event's
-    # family-2 enumeration when their far terminal edge (m, q) is new
+    # A dihedral spanning TWO new bonds (joined by one old middle edge) is
+    # enumerated once by each owning event — as family 2 when that event's
+    # bond sits at the (a,b) end of the path, family 3 when it sits at the
+    # other end, depending only on the (a,b) orientation of each event.
+    # Keep exactly the copy owned by the event whose new bond has the
+    # smaller min endpoint (bonds are vertex-disjoint under mutual-argmin
+    # matching, so the mins differ and exactly one copy survives).
+    ev_min = jnp.minimum(ac, bc)[:, None]           # (E, 1)
+    # family-2 rows ([deg^2:2*deg^2)): far terminal edge is (o, n)
+    o2 = dih_idx[:, deg2:2 * deg2, 0]
+    n2 = dih_idx[:, deg2:2 * deg2, 1]
+    dup2 = (partner[jnp.clip(n2, 0, n)] == o2) \
+        & (ev_min > jnp.minimum(o2, n2))
+    dih_v = dih_v.at[:, deg2:2 * deg2].set(dih_v[:, deg2:2 * deg2] & ~dup2)
+    # family-3 rows ([2*deg^2:3*deg^2)): far terminal edge is (m, q)
     m3 = dih_idx[:, 2 * deg2:, 2]
     q3 = dih_idx[:, 2 * deg2:, 3]
-    dup = partner[jnp.clip(m3, 0, n)] == q3
-    dih_v = dih_v.at[:, 2 * deg2:].set(dih_v[:, 2 * deg2:] & ~dup)
+    dup3 = (partner[jnp.clip(m3, 0, n)] == q3) \
+        & (ev_min > jnp.minimum(m3, q3))
+    dih_v = dih_v.at[:, 2 * deg2:].set(dih_v[:, 2 * deg2:] & ~dup3)
     dih_idx = dih_idx.reshape(-1, 4)
     dih_v = dih_v.reshape(-1)
     if state.dihedrals.capacity > 1:
