@@ -16,18 +16,41 @@ import jax
 import jax.numpy as jnp
 
 
-def save_state(path: str, state) -> None:
+def save_state(path: str, state, cfg=None) -> None:
+    """Write the MDState pytree; with ``cfg`` also record the neighbor
+    capacities so a post-regrowth checkpoint can restore into a fresh
+    build whose derived caps are smaller."""
+    from .engine import build
+
     leaves, treedef = jax.tree_util.tree_flatten(state)
     arrays = {"__n__": np.asarray(len(leaves))}
     for i, leaf in enumerate(leaves):
         arrays["leaf_%d" % i] = np.asarray(leaf)
+    if cfg is not None:
+        arrays["__caps__"] = np.asarray(
+            [getattr(cfg, f) for f in build.NEIGHBOR_CAP_FIELDS], np.int64)
     np.savez_compressed(path, **arrays)
 
 
-def load_state(path: str, template):
-    """Restore into the template's pytree structure (shapes must match the
-    build that produced the checkpoint — same inputs and capacities)."""
+def load_state(path: str, template, cfg=None, spec=None):
+    """Restore into the template's pytree structure.
+
+    With ``cfg``/``spec`` given, neighbor capacities recorded in the file
+    are applied first (regrowing the template's scratch shapes), so
+    checkpoints written after a ``grow_neighbor_caps`` regrowth restore
+    into a freshly built system; returns ``(state, cfg)``.  Without them
+    the legacy behavior applies (shapes must match; returns ``state``).
+    """
     data = np.load(path)
+    want_cfg = cfg is not None
+    if want_cfg and "__caps__" in data:
+        from .engine import build
+
+        caps = {f: int(v) for f, v in zip(build.NEIGHBOR_CAP_FIELDS,
+                                          data["__caps__"])}
+        if any(getattr(cfg, f) != v for f, v in caps.items()):
+            cfg, template = build.apply_neighbor_caps(cfg, spec, template,
+                                                      caps)
     leaves, treedef = jax.tree_util.tree_flatten(template)
     n = int(data["__n__"])
     if n != len(leaves):
@@ -41,4 +64,5 @@ def load_state(path: str, template):
                              "checkpoint made with different inputs?"
                              % (i, arr.shape, tuple(leaf.shape)))
         new_leaves.append(jnp.asarray(arr, leaf.dtype))
-    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+    state = jax.tree_util.tree_unflatten(treedef, new_leaves)
+    return (state, cfg) if want_cfg else state

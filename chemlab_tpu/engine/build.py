@@ -439,6 +439,18 @@ def _round_up(x, m):
     return int(-(-x // m) * m)
 
 
+NEIGHBOR_CAP_FIELDS = ("max_neighbors", "cell_cap", "excl_cap",
+                       "rx_cell_cap", "rx_k")
+
+
+def apply_neighbor_caps(cfg: EngineConfig, spec: SimSpec, state, caps: dict):
+    """Re-derive EngineConfig with explicit neighbor capacities and rebuild
+    the neighbor scratch to match (checkpoint restore into a fresh build
+    whose caps differ from the run that wrote the checkpoint)."""
+    cfg = dataclasses.replace(cfg, **caps)
+    return _rebuild_neighbor_scratch(cfg, spec, state)
+
+
 def grow_neighbor_caps(cfg: EngineConfig, spec: SimSpec, state, factor: float = 1.5):
     """Adaptive capacity regrowth after an overflow flag.
 
@@ -447,16 +459,16 @@ def grow_neighbor_caps(cfg: EngineConfig, spec: SimSpec, state, factor: float = 
     re-jit, which is rare) and rebuild the neighbor state with the sticky
     overflow flag cleared.  Returns (cfg, state).
     """
-    import jax.numpy as jnp
-
     cfg = dataclasses.replace(
         cfg,
-        max_neighbors=_round_up(int(cfg.max_neighbors * factor), 8),
-        cell_cap=_round_up(int(cfg.cell_cap * factor), 8),
-        excl_cap=_round_up(int(cfg.excl_cap * factor), 8),
-        rx_cell_cap=_round_up(int(cfg.rx_cell_cap * factor), 8),
-        rx_k=_round_up(int(cfg.rx_k * factor), 8),
-    )
+        **{f: _round_up(int(getattr(cfg, f) * factor), 8)
+           for f in NEIGHBOR_CAP_FIELDS})
+    return _rebuild_neighbor_scratch(cfg, spec, state)
+
+
+def _rebuild_neighbor_scratch(cfg: EngineConfig, spec: SimSpec, state):
+    import jax.numpy as jnp
+
     rc_skin = jnp.sqrt(jnp.max(spec.pair_cutoff2)) + spec.skin
     nbr = neighbor.build_neighbor_state(
         state.pos, state.box, state.active, state.excl, rc_skin,
@@ -984,6 +996,7 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
         n_atrp=n_atrp,
         atrp_interval=atrp["interval"] if atrp else 0,
         atrp_num=atrp["num_particles"] if atrp else 0,
+        atrp_select_from_all=bool(atrp["select_from_all"]) if atrp else True,
         has_dissociation=bool(compiled and compiled.n_reactions
                               and any(c for c in compiled.channels["r_is_diss"])),
         has_fixd=bool(fix_pairs.shape[0] > 0 or joins),

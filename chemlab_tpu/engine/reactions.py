@@ -825,12 +825,31 @@ def atrp_step(spec: SimSpec, cfg: EngineConfig, state: MDState):
 
     Samples up to ``atrp_num`` candidate slots; each matching a reactive
     center flips with W = k * ratio(pool); the catalyst pool shifts by
-    delta_catalyst per accepted flip.
+    delta_catalyst per accepted flip.  With ``select_from_all`` unset the
+    slots are drawn only from particles matching a reactive center's
+    type+state instead of all particles (ref: reaction_post_process.py:
+    384-397 "atrp_activator.select_from_all").
     """
     key, k1, k2 = jax.random.split(state.key, 3)
     n = state.pos.shape[0]
     num = cfg.atrp_num
-    picks = jax.random.randint(k1, (num,), 0, cfg.n_particles)
+    if cfg.atrp_select_from_all:
+        picks = jax.random.randint(k1, (num,), 0, cfg.n_particles)
+        picks_ok = jnp.ones(num, bool)
+    else:
+        elig = state.active
+        center = jnp.zeros(n, bool)
+        for e in range(cfg.n_atrp):
+            center |= (state.type_id == spec.atrp_type[e]) \
+                & (state.chem_state == spec.atrp_state[e])
+        elig &= center
+        # uniform-with-replacement over the eligible rows: compact them to
+        # the front with a stable sort, then draw row ranks
+        order = jnp.argsort(~elig, stable=True)
+        cnt = jnp.sum(elig)
+        r = jax.random.randint(k1, (num,), 0, jnp.maximum(cnt, 1))
+        picks = order[r]
+        picks_ok = cnt > jnp.zeros(num, I32)
     u = jax.random.uniform(k2, (num,))
 
     tid = state.type_id
@@ -841,7 +860,7 @@ def atrp_step(spec: SimSpec, cfg: EngineConfig, state: MDState):
     # a particle may be sampled twice; dedup by keeping first occurrence
     order_first = jnp.arange(num)
     seen = jnp.zeros(n, I32).at[picks].max(order_first[::-1], mode="drop")
-    is_first = seen[picks] == order_first[::-1]
+    is_first = (seen[picks] == order_first[::-1]) & picks_ok
 
     def body(carry, x):
         tid, chem, mass, q, ratios, stats = carry

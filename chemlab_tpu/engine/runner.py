@@ -145,6 +145,15 @@ def measure(spec: SimSpec, cfg: EngineConfig, state: MDState):
     if cfg.has_fixd:
         out["num_fix_distances"] = jnp.sum((state.fixd_host >= 0)
                                            .astype(jnp.int32))
+    if cfg.has_pps:
+        # NParticlePairScalingEntries analog (ref: start_simulation.py:541-542):
+        # func-14 pairs currently tracked in the neighbor list (birth-step
+        # ramp entries); each pair appears in both rows of the full list
+        j = state.nbr.idx
+        slot_ok = j != jnp.arange(state.pos.shape[0], dtype=jnp.int32)[:, None]
+        pp = state.type_id[:, None] * cfg.n_types + state.type_id[j]
+        out["pair_scale"] = jnp.sum(
+            (slot_ok & (spec.pair_pps_incr[pp] > 0.0)).astype(jnp.int32)) // 2
     if cfg.has_reactions:
         # mean lambda of reaction-created bonds (ResolutionFixedPairList)
         chem_rows = state.bonds.valid & (state.bonds.group >= 0)

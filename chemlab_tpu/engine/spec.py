@@ -96,6 +96,8 @@ class EngineConfig:
     n_atrp: int               # ATRP reactive-center entry count
     atrp_interval: int
     atrp_num: int             # particles sampled per ATRP invocation
+    atrp_select_from_all: bool  # sample all particles vs reactive centers
+                                # only (ref: reaction_post_process.py:384-397)
     has_dissociation: bool
     has_fixd: bool            # FixDistances constraints present
     fixd_cap: int             # constraint table capacity

@@ -127,7 +127,9 @@ def build_sim_options(args, table_dirs):
         thermostat=args.thermostat,
         thermostat_gamma=args.thermostat_gamma,
         barostat=args.barostat if args.pressure else "no",
-        pressure=args.pressure or 0.0,
+        # --pressure is in bar; engine units are kJ/mol/nm^3 (ref:
+        # start_simulation.py:361 "pressure = args.pressure * 0.060221374")
+        pressure=(args.pressure or 0.0) * 0.060221374,
         barostat_tau=args.barostat_tau,
         barostat_gammaP=args.barostat_gammaP,
         barostat_mass=args.barostat_mass,
@@ -212,9 +214,15 @@ def main(argv=None):
     parser.save_to_file("%s_params.out" % out_prefix, args)
 
     if args.debug:
+        # "logger1:regex,logger2" — raise each named logger to DEBUG and,
+        # when a regex is given, filter its messages by message text or
+        # function name (ref: start_simulation.py:65-72, app_args.py:60-68)
         for item in args.debug.split(","):
-            name = item.split(":")[0]
-            logging.getLogger(name).setLevel(logging.DEBUG)
+            name_filter = item.split(":", 1)
+            lg = logging.getLogger(name_filter[0].strip())
+            lg.setLevel(logging.DEBUG)
+            if len(name_filter) == 2:
+                lg.addFilter(tools.RegexpFilter(name_filter[1]))
 
     if args.coulomb_kappa:
         # accepted-but-unused in the reference as well (only declared,
@@ -307,7 +315,8 @@ def main(argv=None):
 
     if args.restore:
         from . import checkpoint
-        state = checkpoint.load_state(args.restore, state)
+        state, cfg = checkpoint.load_state(args.restore, state, cfg=cfg,
+                                           spec=spec)
         print("Restored device state from %s (step %d)"
               % (args.restore, int(state.step)))
     else:
@@ -364,7 +373,8 @@ def main(argv=None):
         ("lambda_adr", args.store_lambda)] if on}
     h5 = writers.H5MDWriter(args.output_file, cfg.n_particles,
                             np.asarray(state.box), store=store,
-                            single_precision=args.store_single_precision)
+                            single_precision=args.store_single_precision,
+                            chunk_size=256)  # ref: start_simulation.py:591
     h5.write_parameters(args, force_field=systop.top.atomtypes)
     emon = writers.SystemMonitorCSV("%s_energy.csv" % out_prefix)
 
@@ -493,6 +503,12 @@ def main(argv=None):
     conversion_reached = False
     eq_blocks_left = None
     need_bond_counts = any(c.kind == "bond_count" for c in criteria)
+    rate_file = None
+    if args.rate_arrhenius:
+        # "step new_rate" rows, one per block with new bonds (ref:
+        # start_simulation.py:712-714,794)
+        rate_file = open("%s_%d_new_rates.csv" % (out_prefix, args.rng_seed),
+                         "w")
     t_loop = time.time()
     k = 0
     global_step = int(state.step)   # nonzero when resuming from a checkpoint
@@ -534,6 +550,8 @@ def main(argv=None):
                 row["boxL"] = float(m["boxL"])
             if "res_fpl" in m:
                 row["res_fpl"] = float(m["res_fpl"])
+            if "pair_scale" in m:
+                row["pair_scale_1"] = int(m["pair_scale"])
             emon.row(row)
         if k % energy_every == 0:
             shown = {kk: v for kk, v in row.items()
@@ -601,7 +619,8 @@ def main(argv=None):
 
         if args.checkpoint_interval and k % args.checkpoint_interval == 0:
             from . import checkpoint
-            checkpoint.save_state("%s_checkpoint.npz" % out_prefix, state)
+            checkpoint.save_state("%s_checkpoint.npz" % out_prefix, state,
+                                  cfg=cfg)
 
         if args.check_topology:
             problems = check_topology(state)
@@ -626,8 +645,12 @@ def main(argv=None):
                 state = dataclasses.replace(
                     state, reaction_rates=jnp.full_like(state.reaction_rates,
                                                         new_rate))
+                rate_file.write("%d %e\n" % (global_step, new_rate))
+                rate_file.flush()
 
     t_loop = time.time() - t_loop
+    if rate_file is not None:
+        rate_file.close()
     if args.profile_dir:
         jax.profiler.stop_trace()
         print("profiler trace written to %s" % args.profile_dir)

@@ -14,10 +14,24 @@ observable passes its stop value).
 from __future__ import annotations
 
 import dataclasses
+import logging
 import re
 import time
 
 _RE_TYPE_STATE = re.compile(r"(?P<type>[A-Za-z0-9-]+)\(?(?P<state>\d?)\)?")
+
+
+class RegexpFilter(logging.Filter):
+    """Pass only log records whose message or function name matches the
+    regexp (ref: app_args.py:60-68; wired by --debug logger:regex)."""
+
+    def __init__(self, regexp, name=""):
+        super().__init__(name)
+        self.regexp = re.compile(regexp)
+
+    def filter(self, record):
+        return bool(self.regexp.match(str(record.msg))
+                    or self.regexp.match(record.funcName))
 
 
 @dataclasses.dataclass

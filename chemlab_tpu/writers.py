@@ -30,7 +30,8 @@ class H5MDWriter:
     """Minimal-but-compatible H5MD trajectory writer."""
 
     def __init__(self, path, n_particles, box, store=None, author=None,
-                 single_precision=True, backup=True):
+                 email=None, single_precision=True, backup=True,
+                 chunk_size=256):
         import h5py
 
         if backup:
@@ -39,11 +40,16 @@ class H5MDWriter:
         self.n = n_particles
         self.store = store or {"position", "species", "state", "mass", "res_id"}
         self.fdtype = np.float32 if single_precision else np.float64
+        # frame-chunked storage along the particle axis (ref DumpH5MD's
+        # chunk_size=256, start_simulation.py:574-591)
+        self.chunk = max(int(chunk_size), 1) if chunk_size else None
 
         h5md = self.f.create_group("h5md")
         h5md.attrs["version"] = [1, 1]
         auth = h5md.create_group("author")
         auth.attrs["name"] = author or getpass.getuser()
+        if email:
+            auth.attrs["email"] = email
         creator = h5md.create_group("creator")
         creator.attrs["name"] = "chemlab_tpu"
         creator.attrs["version"] = "0.1"
@@ -64,8 +70,12 @@ class H5MDWriter:
             g = group.create_group(name)
             g.create_dataset("step", shape=(0,), maxshape=(None,), dtype="i8")
             g.create_dataset("time", shape=(0,), maxshape=(None,), dtype="f8")
+            chunks = None
+            if self.chunk and shape:
+                chunks = (1, min(self.chunk, shape[0])) + shape[1:]
             g.create_dataset("value", shape=(0,) + shape,
-                             maxshape=(None,) + shape, dtype=dtype)
+                             maxshape=(None,) + shape, dtype=dtype,
+                             chunks=chunks)
             self._series[key] = g
         return self._series[key]
 

@@ -119,6 +119,62 @@ options=DA(2,A)->DA(1);FA(2,A)->FA(1)
     assert ratios[0] == pytest.approx(1.0 - 0.001 * stats[0], abs=1e-5)
 
 
+def test_atrp_select_from_all_zero_samples_reactive_centers():
+    """select_from_all=0 draws the sampled slots from particles matching a
+    reactive center (ref: reaction_post_process.py:384-397) — with only 30
+    eligible centers in a ~240-particle melt, 60 draws restricted to the
+    centers flip most of them; unrestricted draws would flip only a few."""
+    from chemlab_tpu import reaction_parser as rp
+    from chemlab_tpu import topfile as tf
+    from chemlab_tpu.engine import build as b
+    from chemlab_tpu.topology import compile_system_topology as cst
+
+    cfg_text = testsystems.ATRP_CFG_TEXT.replace(
+        "[group_reaction_1]",
+        """[ext_atrp]
+ext_type=ATRPActivator
+interval=10
+num_particles=60
+select_from_all=0
+ratio_activator=1.0
+ratio_deactivator=0.0
+delta_catalyst=0.001
+k_activate=1.0
+k_deactivate=0.0
+options=DA(2,A)->DA(1)
+
+[group_reaction_1]""").replace(
+        "extensions=change_neighbour_type",
+        "extensions=change_neighbour_type,atrp")
+    top = tf.parse_lines(testsystems._melt_topology_text(80).splitlines(), "<g>")
+    systop = cst(top)
+    coords = testsystems.melt_coordinates(80, 0.3, seed=7)
+    rcfg = rp.parse_config_lines(cfg_text.splitlines())
+    built = b.build_system(systop, coords,
+                           b.SimOptions(lj_cutoff=2.5, cg_cutoff=2.5,
+                                        dt=0.0025, kT=1.0, gen_velocity=True,
+                                        rng_seed=7),
+                           reaction_config=rcfg)
+    assert built.cfg.has_atrp and not built.cfg.atrp_select_from_all
+    st = runner.initial_forces(built.spec, built.cfg, built.state)
+    tsym = systop.atomsym_atomtype
+    tid = np.array(st.type_id)
+    chem = np.array(st.chem_state)
+    rows = np.where((tid == tsym["MA"]) & np.asarray(st.active))[0][:30]
+    tid[rows] = tsym["DA"]
+    chem[rows] = 2
+    st = dataclasses.replace(st, type_id=jnp.asarray(tid),
+                             chem_state=jnp.asarray(chem),
+                             reactions_on=jnp.asarray(True))
+    st2 = reactions.atrp_step(built.spec, built.cfg, st)
+    chem2 = np.asarray(st2.chem_state)
+    stats = np.asarray(st2.atrp_stats)
+    # flips only happened on the eligible rows, and most centers were hit
+    flipped = np.where(chem2 != np.asarray(st.chem_state))[0]
+    assert set(flipped).issubset(set(rows.tolist()))
+    assert stats[0] >= 15, stats
+
+
 FREEZE_RM_CFG = """
 [general]
 interval: 100
