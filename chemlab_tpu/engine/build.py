@@ -440,7 +440,7 @@ def _round_up(x, m):
 
 
 NEIGHBOR_CAP_FIELDS = ("max_neighbors", "cell_cap", "excl_cap",
-                       "rx_cell_cap", "rx_k")
+                       "rx_cell_cap", "rx_k", "rx_rows_cap")
 
 
 def apply_neighbor_caps(cfg: EngineConfig, spec: SimSpec, state, caps: dict):
@@ -937,6 +937,25 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
     angle_funcs = tuple(f for f in sorted(set(a_func) | set(angle_func_tt.flatten())) if f > 0)
     dih_funcs = tuple(f for f in sorted(set(d_func) | set(dih_func_tt.flatten())) if f > 0)
 
+    # ---- compacted reaction matching gate ----
+    # Candidate rows only for particles that can be the type_1 side of a
+    # channel; gated off when those types span the bulk (symmetric A+A
+    # systems), where compaction buys nothing.  The capacity is a static
+    # bound on |S1| with regrowth-on-overflow as the backstop (initiator
+    # counts grow at runtime, e.g. hooks flipping monomers to radicals).
+    rx_compact = False
+    rx_rows_cap = 0
+    if compiled and compiled.n_reactions:
+        ch = compiled.channels
+        t1_types = sorted({int(t) for t, d in zip(ch["r_t1"], ch["r_is_diss"])
+                           if not d})
+        if t1_types:
+            t1_pop = int(np.isin(type_id[active], t1_types).sum())
+            if t1_pop <= max(n_real // 3, 1):
+                rx_compact = True
+                rx_rows_cap = min(_round_up(max(4 * t1_pop, 1024), 128),
+                                  _round_up(n_pad, 128))
+
     cfg = EngineConfig(
         n_types=T,
         n_particles=n,
@@ -969,6 +988,10 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
         max_per_interval=compiled.max_per_interval if compiled else -1,
         exclude_new_bonds=opts.exclude_new_bonds,
         n_mix_entries=len(mix_entries),
+        has_mixed_tables=bool(
+            mix_entries
+            or (pair_arrays["pair_mix_mode"] != 0).any()
+            or (pair_arrays["pair_tab_b"] != pair_arrays["pair_tab_a"]).any()),
         needs_conversions=bool(mix_entries
                                or (pair_arrays["pair_mix_mode"] == MIX_OBS).any()),
         use_pallas=use_pallas,
@@ -982,6 +1005,8 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
         rx_cell_cap=rx_cell_cap,
         rx_k=rx_k,
         rx_rc=rc_rx,
+        rx_compact=rx_compact,
+        rx_rows_cap=rx_rows_cap,
         has_lj=bool((pair_arrays["pair_kind"] == PAIR_LJ).any()),
         has_tabulated=bool((pair_arrays["pair_kind"] == PAIR_TAB).any()),
         has_caps=bool((pair_arrays["pair_caprad"] > 0).any()
@@ -1054,7 +1079,9 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
         qq_prefactor=jnp.asarray(qq_pref, F32),
         qq_cutoff2=jnp.asarray(opts.coulomb_cutoff**2, F32),
         **mix,
-        nb_ef=jnp.asarray(nb_stack.ef), nb_r0=jnp.asarray(nb_stack.r0),
+        nb_ef=jnp.asarray(nb_stack.ef),
+        nb_ef4=jnp.asarray(tables.interleave4(nb_stack.ef)),
+        nb_r0=jnp.asarray(nb_stack.r0),
         nb_dr=jnp.asarray(nb_stack.dr),
         bond_ef=jnp.asarray(bond_stack.ef), bond_r0=jnp.asarray(bond_stack.r0),
         bond_dr=jnp.asarray(bond_stack.dr),

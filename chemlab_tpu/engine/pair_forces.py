@@ -117,13 +117,18 @@ def pair_forces(spec: SimSpec, n_types: int, pos, box, type_id, q, lam, nbr_idx,
     # ---- tabulated (with mixing) ----
     if has_tab:
         tab_mask = mask & (kind == PAIR_TAB) & in_cut
-        ea, fa = tables.interpolate(spec.nb_ef, spec.nb_r0, spec.nb_dr, tab_a[p], r_eff)
-        same = tab_a[p] == tab_b[p]
-        eb, fb = tables.interpolate(spec.nb_ef, spec.nb_r0, spec.nb_dr,
-                                    jnp.where(same, tab_a[p], tab_b[p]), r_eff)
-        xm = mix_x[p]
-        e_tab = xm * ea + (1.0 - xm) * eb
-        f_tab = xm * fa + (1.0 - xm) * fb
+        # one interleaved-row gather fetches both interpolation endpoints
+        # (the gather count is the dominant per-step cost of this path)
+        ea, fa = tables.interpolate4(spec.nb_ef4, spec.nb_r0, spec.nb_dr,
+                                     tab_a[p], r_eff)
+        if cfg is None or cfg.has_mixed_tables:
+            eb, fb = tables.interpolate4(spec.nb_ef4, spec.nb_r0, spec.nb_dr,
+                                         tab_b[p], r_eff)
+            xm = mix_x[p]
+            e_tab = xm * ea + (1.0 - xm) * eb
+            f_tab = xm * fa + (1.0 - xm) * fb
+        else:
+            e_tab, f_tab = ea, fa
         e_tab = jnp.where(tab_mask, e_tab, 0.0)
         f_tab = jnp.where(tab_mask & above_cap, f_tab / r, 0.0)
     else:

@@ -223,6 +223,179 @@ def match_reactions(spec: SimSpec, cfg: EngineConfig, state: MDState, seed,
     return ev_valid, ev_a, ev_b, ev_r, ev_dist
 
 
+def side1_mask(spec: SimSpec, cfg: EngineConfig, state: MDState):
+    """Particles that can be the type_1 side of ANY active normal channel."""
+    m = jnp.zeros(state.pos.shape[0], bool)
+    for r in range(cfg.n_reactions):
+        ok = state.reaction_active[r] & ~spec.r_is_diss[r]
+        m |= ok & (state.type_id == spec.r_t1[r]) \
+            & (state.chem_state >= spec.r_min1[r]) \
+            & (state.chem_state < spec.r_max1[r])
+    return m & state.active
+
+
+def _compact_channel_accept(spec: SimSpec, cfg: EngineConfig, state: MDState,
+                            seed, a, j, r2, slot_valid, r: int):
+    """Directed acceptance of channel r with ``a`` fixed as the type_1 side
+    (the compacted rows are built around S1 particles).  Draws stay keyed by
+    the unordered pair so a mutual S1-S1 evaluation of a symmetric channel
+    produces the same number from both rows."""
+    lo = jnp.minimum(a, j)
+    hi = jnp.maximum(a, j)
+    ta = state.type_id[a]
+    tb = state.type_id[j]
+    sa = state.chem_state[a]
+    sb = state.chem_state[j]
+
+    m = slot_valid
+    m &= (ta == spec.r_t1[r]) & (tb == spec.r_t2[r])
+    m &= (sa >= spec.r_min1[r]) & (sa < spec.r_max1[r])
+    m &= (sb >= spec.r_min2[r]) & (sb < spec.r_max2[r])
+    m &= state.reaction_active[r] & ~spec.r_is_diss[r]
+
+    symmetric = spec.r_t1[r] == spec.r_t2[r]
+    # direction salt matches _channel_accept: the t1 side being the smaller
+    # index corresponds to t1_is_lo
+    t1_is_lo = a == lo
+    dir_salt = jnp.where(symmetric, 0, jnp.where(t1_is_lo, 0, 1))
+    u1 = pair_uniform(seed, state.step, lo, hi, 4 * r + 2)
+    u2 = pair_uniform(seed, state.step, lo, hi, 4 * r + 3)
+    gcut = spec.r_eq[r] + spec.r_sigma[r] * _gauss_from_uniform(u1, u2)
+    cut2 = jnp.where(spec.r_sigma[r] > 0.0,
+                     jnp.where(gcut > 0.0, gcut * gcut, -1.0),
+                     spec.r_cutoff2[r])
+    m &= (r2 <= cut2) & (r2 >= spec.r_min_cutoff2[r])
+
+    m &= spec.r_intramolecular[r] | (state.mol_id[a] != state.mol_id[j])
+    m &= spec.r_intraresidual[r] | (state.res_id[a] != state.res_id[j])
+    m &= ~jnp.any(state.adj[a] == j[..., None], axis=-1)
+
+    if spec.restrict_lo.shape[0]:
+        mm = spec.restrict_lo.shape[0]
+        pos_ = jnp.searchsorted(spec.restrict_lo, lo)
+        listed = jnp.zeros_like(m)
+        for k in range(cfg.restrict_scan):
+            pk = jnp.minimum(pos_ + k, mm - 1)
+            listed |= (spec.restrict_lo[pk] == lo) & (spec.restrict_hi[pk] == hi)
+        m &= listed | ~spec.r_restricted[r]
+
+    cnb = spec.r_cnb_type[r]
+    nbr_t = state.type_id[jnp.maximum(state.adj[a], 0)]
+    nbr_s = state.chem_state[jnp.maximum(state.adj[a], 0)]
+    has_cnb = jnp.any((state.adj[a] >= 0) & (nbr_t == cnb)
+                      & (nbr_s >= spec.r_cnb_min[r]) & (nbr_s < spec.r_cnb_max[r]),
+                      axis=-1)
+    m &= (cnb < 0) | has_cnb
+
+    w = state.reaction_rates[r] * spec.dt * cfg.reaction_interval
+    u = pair_uniform(seed, state.step, lo, hi, 4 * r + dir_salt)
+    m &= u < w
+    return m, u
+
+
+def match_reactions_compact(spec: SimSpec, cfg: EngineConfig, state: MDState,
+                            seed, rowsel, row_ok, cand, excl_hit):
+    """Fired events from compacted candidate rows.
+
+    ``rowsel`` (R,) are the S1 particle rows, ``row_ok`` their validity,
+    ``cand`` (R, C) candidate particle ids (-1 padded), ``excl_hit`` (R, C)
+    True where (rowsel, cand) is an excluded pair.  Conflict resolution:
+    each S1 row proposes its best accepted candidate; proposals resolve by
+    deterministic scatter-min over both endpoints, with an index tie-break
+    for the mutual symmetric-channel case (both copies share the pair key).
+    Returns (ev_valid, ev_a, ev_b, ev_r, ev_dist) with ``a`` the type_1 side.
+    """
+    n = state.pos.shape[0]
+    a = rowsel[:, None]                                  # (R, 1)
+    j = jnp.maximum(cand, 0)
+    # per-axis planes (R, C): R*C is small, a (R, C, 3) gather is fine
+    dr = state.pos[a[:, 0]][:, None, :] - state.pos[j]
+    dr -= state.box * jnp.round(dr / state.box)
+    r2 = jnp.sum(dr * dr, axis=-1)
+    slot_valid = (cand >= 0) & (j != a) & row_ok[:, None] \
+        & state.active[j] & ~excl_hit
+
+    big = jnp.float32(1e30)
+    rs = jnp.arange(cfg.n_reactions, dtype=I32)
+    m_all, u_all = jax.vmap(
+        lambda r: _compact_channel_accept(spec, cfg, state, seed, a, j, r2,
+                                          slot_valid, r))(rs)   # (Rchan, R, C)
+    u_cat = jnp.where(m_all, u_all, big)
+    pick = jnp.argmin(u_cat, axis=0)                      # (R, C)
+    best_u = jnp.take_along_axis(u_cat, pick[None], axis=0)[0]
+    accepted = best_u < big
+    best_r = jnp.where(accepted, pick.astype(I32), -1)
+    key = jnp.where(accepted, jnp.where(cfg.nearest_mode, r2, best_u), big)
+
+    # each row proposes its best slot
+    slot = jnp.argmin(key, axis=1)                        # (R,)
+    rr = jnp.arange(rowsel.shape[0])
+    prop_key = key[rr, slot]
+    prop_b = jnp.where(prop_key < big, j[rr, slot], -1)
+    prop_r = best_r[rr, slot]
+    has_prop = prop_b >= 0
+
+    # scatter-min of incoming proposal keys over both endpoints
+    win = jnp.full(n + 1, big).at[jnp.where(has_prop, prop_b, n)].min(
+        prop_key, mode="drop")
+    wins_b = has_prop & (prop_key == win[jnp.maximum(prop_b, 0)])
+    # the row's own particle must not be claimed by a stronger proposal;
+    # an equal key can only be the mirror copy of a mutual symmetric-channel
+    # pair — break by keeping the smaller-index owner
+    claimed = win[rowsel]
+    fire = wins_b & ((claimed > prop_key)
+                     | ((claimed == prop_key) & (rowsel < prop_b)))
+
+    order = jnp.argsort(jnp.where(fire, prop_key, big))
+    take = order[: cfg.max_events]
+    ev_valid = fire[take]
+    if cfg.max_per_interval > 0:
+        ev_valid &= jnp.arange(cfg.max_events) < cfg.max_per_interval
+    ev_a = jnp.where(ev_valid, rowsel[take], -1)
+    ev_b = jnp.where(ev_valid, prop_b[take], -1)
+    ev_r = jnp.where(ev_valid, prop_r[take], -1)
+    dp = state.pos[jnp.maximum(ev_a, 0)] - state.pos[jnp.maximum(ev_b, 0)]
+    dp -= state.box * jnp.round(dp / state.box)
+    ev_dist = jnp.where(ev_valid, jnp.sqrt(jnp.sum(dp * dp, -1)), -1.0)
+    return ev_valid, ev_a, ev_b, ev_r, ev_dist
+
+
+def compact_candidates_from_rows(state: MDState, rowsel):
+    """Candidate tile for the compacted match from the persistent Verlet rows
+    (the non-lazy path): gather the S1 rows + their exclusion mask."""
+    cand = state.nbr.idx[rowsel]
+    self_row = cand == rowsel[:, None]
+    return jnp.where(self_row, -1, cand), state.nbr.excl_mask[rowsel]
+
+
+def compact_candidates_from_cells(spec: SimSpec, cfg: EngineConfig,
+                                  state: MDState, rowsel):
+    """Candidate tile for the compacted match built directly on the reaction
+    cell grid (lazy-row mode): buckets over all actives, stencil gather for
+    just the R rows.  Replaces the (N, rx_k) transient row build.
+
+    Returns (cand (R, S*cap), excl_hit, overflow)."""
+    import numpy as np
+
+    dims = cfg.rx_dims
+    buckets, ci, b_ovf = neighbor.build_cell_buckets(
+        state.pos, state.box, state.active, dims, cfg.rx_cell_cap)
+    offsets = jnp.asarray(neighbor.neighbor_cell_offsets(dims))
+    dims_a = jnp.asarray(dims, dtype=I32)
+    R = rowsel.shape[0]
+
+    nc = (ci[rowsel][:, None, :] + offsets[None, :, :]) % dims_a
+    ncid = (nc[..., 0] * dims[1] + nc[..., 1]) * dims[2] + nc[..., 2]
+    cand = buckets[ncid].reshape(R, -1)                   # (R, S*cap)
+    # distance culling happens inside the channel accept (r2 <= cutoff);
+    # no top_k pack is needed — the match consumes the raw stencil tile
+    excl_rows, e_ovf = neighbor.build_exclusion_rows(
+        state.excl, state.pos.shape[0], cfg.excl_cap)
+    er = excl_rows[rowsel]                                # (R, EXCL)
+    excl_hit = jnp.any(cand[:, None, :] == er[:, :, None], axis=1)
+    return cand, excl_hit, b_ovf | e_ovf
+
+
 # ---------------------------------------------------------------------------
 # dissociation
 # ---------------------------------------------------------------------------
@@ -1000,7 +1173,22 @@ def reaction_step(spec: SimSpec, cfg: EngineConfig, state: MDState,
     seed = jnp.asarray(rng_seed, jnp.uint32)
 
     rx_overflow = jnp.asarray(False)
-    if cfg.lazy_rows:
+    if cfg.rx_compact:
+        # compacted matching: candidate rows only for the S1 particles
+        s1 = side1_mask(spec, cfg, state)
+        order = jnp.argsort(~s1)
+        rowsel = order[: cfg.rx_rows_cap].astype(I32)
+        row_ok = s1[rowsel]
+        rx_overflow = jnp.sum(s1) > cfg.rx_rows_cap
+        if cfg.lazy_rows:
+            cand, excl_hit, c_ovf = compact_candidates_from_cells(
+                spec, cfg, state, rowsel)
+            rx_overflow |= c_ovf
+        else:
+            cand, excl_hit = compact_candidates_from_rows(state, rowsel)
+        ev_valid, ev_a, ev_b, ev_r, ev_dist = match_reactions_compact(
+            spec, cfg, state, seed, rowsel, row_ok, cand, excl_hit)
+    elif cfg.lazy_rows:
         # lazy-row mode: rows exist only here — build them fresh on the
         # reaction-sized cell grid (rc_rx << rc_skin makes this ~(rc ratio)^3
         # cheaper than the force-geometry rebuild)

@@ -129,6 +129,18 @@ class EngineConfig:
     rx_cell_cap: int = 8
     rx_k: int = 8             # reaction neighbor-row width
     rx_rc: float = 0.0        # reaction candidate radius
+    # -- compacted reaction matching --
+    # Most particles cannot be the type_1 side of any channel (e.g. radicals
+    # in an ATRP melt): candidate rows are built only for the S1 = matching-
+    # type_1-window particles, shrinking the reaction-interval cost from
+    # O(N * K) to O(|S1| * K) with deterministic scatter-min conflict
+    # resolution.  Gated off when the type_1 types span the bulk.
+    rx_compact: bool = False
+    rx_rows_cap: int = 0      # static capacity for S1 rows (overflow-flagged)
+    has_mixed_tables: bool = False  # any pair can blend two tables (func
+                                    # 9/10/12/17): the b-table interpolation
+                                    # (a second gather pass) is compiled only
+                                    # when this is set
 
 
 @_dataclass
@@ -183,6 +195,9 @@ class SimSpec:
 
     # -- table stacks --
     nb_ef: jnp.ndarray        # (nT, bins, 2)
+    nb_ef4: jnp.ndarray       # (nT, bins, 4) interleaved lo/hi rows: the hot
+                              # path fetches both interpolation endpoints in
+                              # one gather (tables.interleave4)
     nb_r0: jnp.ndarray
     nb_dr: jnp.ndarray
     bond_ef: jnp.ndarray

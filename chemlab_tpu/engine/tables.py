@@ -270,6 +270,36 @@ class TableStackBuilder:
         return report
 
 
+def interleave4(ef: np.ndarray) -> np.ndarray:
+    """(nT, bins, 2) E/F stack -> (nT, bins, 4) [E_b, F_b, E_{b+1}, F_{b+1}].
+
+    The device-side lookup then needs ONE gather per query instead of two
+    (lo and hi rows): TPU random gathers cost ~11 cycles/element regardless
+    of row width, so fetching both interpolation endpoints in a single
+    16-byte row halves the dominant per-step cost of the tabulated path.
+    """
+    hi = np.concatenate([ef[:, 1:], ef[:, -1:]], axis=1)
+    return np.concatenate([ef, hi], axis=2)
+
+
+def interpolate4(stack_ef4, stack_r0, stack_dr, table_idx, r):
+    """Linear interpolation from the interleaved stack (ONE gather).
+
+    Numerically identical to ``interpolate`` (same source values, same
+    lo*(1-t) + hi*t combination).
+    """
+    n_bins = stack_ef4.shape[1]
+    r0 = stack_r0[table_idx]
+    dr = stack_dr[table_idx]
+    u = (r - r0) / dr
+    u = jnp.clip(u, 0.0, n_bins - 1.000001)
+    i0 = u.astype(jnp.int32)
+    frac = (u - i0)[..., None]
+    v = stack_ef4[table_idx, i0]            # (..., 4) one 16-byte row
+    ef = v[..., :2] * (1.0 - frac) + v[..., 2:] * frac
+    return ef[..., 0], ef[..., 1]
+
+
 def interpolate(stack_ef, stack_r0, stack_dr, table_idx, r):
     """Linear interpolation of stacked tables on device.
 

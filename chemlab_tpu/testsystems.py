@@ -189,6 +189,82 @@ def build_melt(n_mols: int = 2000, density: float = 0.27, kT: float = 1.0,
     return built, systop, coords
 
 
+MELT_TYPES = ("MA", "ML", "PA", "FA", "DA", "RA", "PL")
+
+
+def write_lj_pair_tables(out_dir: str, eps: float = 0.25, sig: float = 1.0,
+                         dr: float = 0.002, r_max: float = 3.0,
+                         rough: float = 0.0, seed: int = 3) -> None:
+    """Write table_T1_T2.pot for every melt type pair: the LJ potential
+    sampled at source resolution (the rim135/dacron table granularity,
+    ref: examples/rim135/table_A_A.xvg has dr=0.002).  ``rough`` adds
+    bounded high-frequency structure to F (and integrates it into E) to
+    mimic IBI-table roughness without destabilizing the dynamics."""
+    import os
+
+    r = np.arange(dr, r_max + dr / 2, dr)
+    sr6 = (sig / r) ** 6
+    e = 4.0 * eps * (sr6 * sr6 - sr6)
+    f = 24.0 * eps * (2.0 * sr6 * sr6 - sr6) / r
+    rng = np.random.RandomState(seed)
+    names = sorted(MELT_TYPES)
+    for i, t1 in enumerate(names):
+        for t2 in names[i:]:
+            if rough > 0.0:
+                bump = rough * np.abs(f) * rng.uniform(-1, 1, size=len(r))
+                fq = f + bump
+                eq = e.copy()
+                eq[:-1] = e[-1] + np.cumsum((fq * dr)[::-1])[::-1][1:]
+            else:
+                fq, eq = f, e
+            path = os.path.join(out_dir, "table_%s_%s.pot" % (t1, t2))
+            with open(path, "w") as out:
+                for k in range(len(r)):
+                    out.write("%.6f %.8e %.8e\n" % (r[k], eq[k], fq[k]))
+
+
+def build_tabulated_melt(n_mols: int = 2000, density: float = 0.27,
+                         kT: float = 1.0, reactive: bool = True,
+                         seed: int = 42, rough: float = 0.0,
+                         table_dir: str | None = None, **opt_overrides):
+    """The melt with every nonbonded type pair served by a func-8 table —
+    the rim135/dacron workload class (many per-pair source-resolution
+    tables; ref: examples/rim135/cg_topol.top [ nonbond_params ] func 8)."""
+    import tempfile
+
+    from . import reaction_parser
+    from .engine import build
+
+    if table_dir is None:
+        table_dir = tempfile.mkdtemp(prefix="chemlab_tab_")
+        write_lj_pair_tables(table_dir, rough=rough)
+
+    names = sorted(MELT_TYPES)
+    nb_lines = ["", "[ nonbond_params ]"]
+    for i, t1 in enumerate(names):
+        for t2 in names[i:]:
+            nb_lines.append("%s %s 8" % (t1, t2))
+    top_text = _melt_topology_text(n_mols) + "\n".join(nb_lines) + "\n"
+
+    top = topfile.parse_lines(top_text.splitlines(), "<generated-tab>")
+    systop = compile_system_topology(top)
+    coords = melt_coordinates(n_mols, density, seed=seed)
+    rcfg = None
+    if reactive:
+        rcfg = reaction_parser.parse_config_lines(ATRP_CFG_TEXT.splitlines())
+    # no max_neighbors override: the tabulated pairs keep their table's
+    # (supercritical) well depth, the melt stays homogeneous, and the
+    # build's observed-occupancy sizing (with regrowth as backstop) keeps
+    # K tight — K directly multiplies the per-step gather cost of this path
+    opts_kw = dict(lj_cutoff=2.5, cg_cutoff=2.5, skin=0.4, dt=0.0025, kT=kT,
+                   thermostat="lv", thermostat_gamma=1.0, gen_velocity=True,
+                   rng_seed=seed, table_dirs=(table_dir,))
+    opts_kw.update(opt_overrides)
+    opts = build.SimOptions(**opts_kw)
+    built = build.build_system(systop, coords, opts, reaction_config=rcfg)
+    return built, systop, coords
+
+
 def warmup(built, state, steps: int = 400, max_disp: float = 0.05, kT=None,
            seed: int = 7, chunk: int = 100, **_legacy):
     """Resolve overlaps in a random configuration, then re-draw velocities.
