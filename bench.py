@@ -6,23 +6,48 @@ steps) on the default JAX device and prints one JSON line:
 
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-``vs_baseline``: the reference publishes no numbers (BASELINE.md); the
-denominator is a measured-order-of-magnitude estimate for single-node
-ESPResSo++ on this workload class — ~2e5 particle-steps/sec/core x ~20 MPI
-ranks = 4e6 particle-steps/sec (the deployment in examples/atrp_lj/p2ccg.pbs,
-2 nodes x 10 ppn) — so vs_baseline ~= speedup over the reference's own
-cluster configuration.
+``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
+denominator is MEASURED here: ``native/baseline_md.cpp`` — a competently
+written single-core C++ cell-list/Verlet MD engine running the same
+workload class (LJ melt + harmonic trimer bonds + Langevin, identical
+density/cutoff/dt) — timed on this machine at the same particle count,
+scaled by the reference's own single-node deployment (20 MPI ranks,
+examples/atrp_lj/p2ccg.pbs / rim135 run_simulation.pbs nodes=1:ppn=20)
+with an assumed 85% parallel efficiency.  ``vs_baseline`` is therefore
+speedup per TPU chip over a full reference-class CPU node.  Falls back to
+the round-2 constant (4e6) if the native build fails.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 
-ESPP_BASELINE_PPS = 4.0e6   # single-node-class ESPResSo++ estimate (see above)
+ESPP_BASELINE_PPS = 4.0e6   # fallback when the native baseline can't build
+NODE_RANKS = 20             # the reference's single-node deployment
+PAR_EFF = 0.85              # assumed MPI scaling at node scale
+
+
+def measure_native_baseline(n_particles: int, steps: int = 200):
+    """Build + run the C++ baseline at the given size; returns single-node
+    pps (per-core measurement x NODE_RANKS x PAR_EFF) or None."""
+    try:
+        src = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "native", "baseline_md.cpp")
+        exe = "/tmp/chemlab_baseline_md"
+        if not os.path.exists(exe) or os.path.getmtime(exe) < os.path.getmtime(src):
+            subprocess.run(["g++", "-O3", "-march=native", "-o", exe, src],
+                           check=True, capture_output=True, timeout=120)
+        r = subprocess.run([exe, str(n_particles), str(steps)],
+                           capture_output=True, text=True, timeout=600)
+        core_pps = float(r.stdout.split()[1])
+        return core_pps * NODE_RANKS * PAR_EFF, core_pps
+    except Exception:
+        return None, None
 
 
 def _probe_backend():
@@ -53,24 +78,14 @@ def _probe_backend():
     return "cpu-fallback"
 
 
-def main():
-    n_mols = int(os.environ.get("BENCH_N_MOLS", "3334"))   # ~10k particles
-    n_blocks = int(os.environ.get("BENCH_BLOCKS", "5"))
-    block_steps = int(os.environ.get("BENCH_BLOCK_STEPS", "200"))
-
-    backend = _probe_backend()
+def _bench_melt(n_mols, want_pallas, n_blocks, block_steps):
     import jax
-    if backend.startswith("cpu"):
-        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
 
     from chemlab_tpu import testsystems
+    from chemlab_tpu.engine import build as build_mod
     from chemlab_tpu.engine import runner
 
-    # TPU: the pallas cell-tile + lazy-row fast path (measured 2.6x the XLA
-    # Verlet-row path at 10k on v5e); CPU keeps the row path (interpret-mode
-    # pallas is slower). BENCH_NO_PALLAS=1 forces the row path anywhere.
-    want_pallas = (backend == "tpu"
-                   and not os.environ.get("BENCH_NO_PALLAS"))
     built, systop, _ = testsystems.build_melt(n_mols=n_mols, reactive=True,
                                               use_pallas=want_pallas)
     spec, cfg = built.spec, built.cfg
@@ -82,12 +97,6 @@ def main():
     # compile + warm the cache (one full block incl. a reaction step);
     # regrow neighbor capacities if the workload's densification exceeds the
     # static estimates (phase-separating melts at large N)
-    import dataclasses
-
-    import jax.numpy as jnp
-
-    from chemlab_tpu.engine import build as build_mod
-
     state = runner.run_block(spec, cfg, state, block_steps)
     jax.block_until_ready(state.pos)
     for _ in range(3):
@@ -106,25 +115,76 @@ def main():
 
     m = runner.measure(spec, cfg, state)
     n_steps = n_blocks * block_steps
-    pps = cfg.n_particles * n_steps / dt
     events_timed = int(m["reaction_counts"].sum()) - events_before
+    return {
+        "n_particles": cfg.n_particles,
+        "pps": round(cfg.n_particles * n_steps / dt, 1),
+        "steps_timed": n_steps,
+        "wall_s": round(dt, 3),
+        "reaction_events": events_timed,
+        "reaction_events_per_s": round(events_timed / dt, 2),
+        "pallas": bool(cfg.use_pallas),
+        "overflow": bool(m["overflow"]),
+    }
+
+
+def main():
+    n_mols = int(os.environ.get("BENCH_N_MOLS", "3334"))   # ~10k particles
+    n_blocks = int(os.environ.get("BENCH_BLOCKS", "5"))
+    block_steps = int(os.environ.get("BENCH_BLOCK_STEPS", "200"))
+
+    backend = _probe_backend()
+    import jax
+    if backend.startswith("cpu"):
+        jax.config.update("jax_platforms", "cpu")
+
+    # TPU: the pallas cell-tile + lazy-row fast path; CPU keeps the row path
+    # (interpret-mode pallas is slower). BENCH_NO_PALLAS=1 forces the row path.
+    want_pallas = (backend == "tpu"
+                   and not os.environ.get("BENCH_NO_PALLAS"))
+
+    r10 = _bench_melt(n_mols, want_pallas, n_blocks, block_steps)
+    node_pps, core_pps = measure_native_baseline(r10["n_particles"])
+    denom = node_pps or ESPP_BASELINE_PPS
+
+    extra = {
+        **r10,
+        "device": str(jax.devices()[0]),
+        "backend": backend,
+        "baseline": {
+            "single_core_cpp_pps": core_pps,
+            "single_node_pps": round(denom, 1),
+            "model": "measured native/baseline_md.cpp x %d ranks x %.2f eff"
+                     % (NODE_RANKS, PAR_EFF) if node_pps else
+                     "fallback constant (native build failed)",
+        },
+    }
+
+    # 100k variant + the explicit v5e-8 gate arithmetic (BASELINE.md:
+    # >=50x single-node at 100k on 8 chips; single-chip measured here,
+    # aggregate projected linearly as the upper bound)
+    if backend == "tpu" and not os.environ.get("BENCH_SKIP_LARGE"):
+        large_mols = int(os.environ.get("BENCH_N_MOLS_LARGE", "33334"))
+        r100 = _bench_melt(large_mols, want_pallas, max(n_blocks // 2, 2),
+                           block_steps)
+        node100, core100 = measure_native_baseline(r100["n_particles"], 100)
+        denom100 = node100 or ESPP_BASELINE_PPS
+        extra["large"] = {
+            **r100,
+            "baseline_single_node_pps": round(denom100, 1),
+            "vs_baseline_1chip": round(r100["pps"] / denom100, 3),
+            "gate_50x_aggregate_needed_pps": round(50 * denom100, 1),
+            "gate_projection_8chip_linear": round(8 * r100["pps"], 1),
+            "gate_fraction": round(8 * r100["pps"] / (50 * denom100), 4),
+        }
+
     result = {
         "metric": "particle-steps/sec (reactive atrp_lj-class melt, %dk particles)"
-                  % (cfg.n_particles // 1000),
-        "value": round(pps, 1),
+                  % (r10["n_particles"] // 1000),
+        "value": r10["pps"],
         "unit": "particle-steps/s",
-        "vs_baseline": round(pps / ESPP_BASELINE_PPS, 3),
-        "extra": {
-            "n_particles": cfg.n_particles,
-            "steps_timed": n_steps,
-            "wall_s": round(dt, 3),
-            "reaction_events": events_timed,
-            "reaction_events_per_s": round(events_timed / dt, 2),
-            "device": str(jax.devices()[0]),
-            "backend": backend,
-            "pallas": bool(cfg.use_pallas),
-            "overflow": bool(m["overflow"]),
-        },
+        "vs_baseline": round(r10["pps"] / denom, 3),
+        "extra": extra,
     }
     print(json.dumps(result))
     return 0

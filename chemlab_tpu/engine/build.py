@@ -403,12 +403,6 @@ def _pallas_enabled(opts, pair_arrays, qq_pref) -> bool:
     if qq_pref > 0:
         logger.warning("pallas pair kernel disabled: coulomb not supported")
         return False
-    if opts.barostat != "no" and opts.pressure > 0 or opts.store_pressure:
-        # virial_pressure evaluates the pair sum over the Verlet rows, which
-        # the lazy-row fast path keeps stale between reaction steps
-        logger.warning("pallas pair kernel disabled: pressure observables "
-                       "need per-step Verlet rows")
-        return False
     if not pallas_pair.supports(None, pair_arrays):
         logger.warning("pallas pair kernel disabled: unsupported pair variant "
                        "(mixing/caps/lambda/tabulated)")

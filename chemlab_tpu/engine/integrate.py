@@ -41,12 +41,12 @@ def compute_forces(spec: SimSpec, cfg: EngineConfig, state: MDState):
         from . import pallas_pair
 
         interpret = jax.default_backend() != "tpu"
-        f_all, e_lj_all, e_tab_all = pallas_pair.cell_pair_forces(
+        f_all, e_lj_all, e_tab_all, _ = pallas_pair.cell_pair_forces(
             state.pos, state.type_id, state.active, state.box,
             state.nbr.buckets, cfg.cell_dims, spec,
             cfg.n_types, cfg.cell_cap, interpret=interpret,
             uniform_lj=cfg.uniform_lj)
-        f_ex, e_lj_ex, e_tab_ex = pallas_pair.excluded_pair_correction(
+        f_ex, e_lj_ex, e_tab_ex, _ = pallas_pair.excluded_pair_correction(
             spec, cfg.n_types, state.pos, state.box, state.type_id, state.excl,
             active=state.active, has_tab=cfg.has_tabulated)
         f_pair = f_all - f_ex
@@ -119,30 +119,57 @@ def _rescale_thermostat(spec: SimSpec, cfg: EngineConfig, state: MDState, key):
 
 
 def virial_pressure(spec: SimSpec, cfg: EngineConfig, state: MDState):
-    """Instantaneous pressure P = (2 Ekin + W) / 3V with the virial from the
-    strain derivative W = -dU/ds (positions and box scaled by s) — one
-    autodiff pass covers every potential variant, tabulated included
-    (the espressopp analysis.Pressure equivalent; ref: start_simulation.py:357)."""
-    obs_x = observables.conversions(spec, state.type_id, state.chem_state,
-                                    state.active)
-    tab_a, tab_b, mix_x = pair_forces.resolve_pair_tables(spec, obs_x,
-                                                          cfg.n_mix_entries)
+    """Instantaneous pressure P = (2 Ekin + W) / 3V (espressopp
+    analysis.Pressure; ref: start_simulation.py:357).
 
-    def utotal(s):
-        pos = state.pos * s
-        box = state.box * s
-        _, e_pair = pair_forces.pair_forces(
-            spec, cfg.n_types, pos, box, state.type_id, state.q, state.lam,
-            state.nbr.idx, state.nbr.excl_mask, tab_a, tab_b, mix_x)
+    Row path: virial from the strain derivative W = -dU/ds (positions and
+    box scaled by s) — one autodiff pass covers every potential variant.
+    Pallas path: the cell-tile kernel's own pair-virial channel (sum of
+    (F/r) r^2 minus the excluded pairs' share) plus the strain derivative
+    of the bonded terms — the lazy-row fast path keeps no per-step Verlet
+    rows for the autodiff form, so NPT no longer forces the slow path."""
+
+    def u_bonded(s):
         e_bond = bonded_forces.bonded_energy_terms(
-            spec, cfg, pos, box, state.type_id, state.q,
+            spec, cfg, state.pos * s, state.box * s, state.type_id, state.q,
             state.bonds, state.angles, state.dihedrals, state.pairs14)
-        tot = jnp.asarray(0.0, pos.dtype)
-        for v in {**e_pair, **e_bond}.values():
+        tot = jnp.asarray(0.0, state.pos.dtype)
+        for v in e_bond.values():
             tot = tot + v
         return tot
 
-    w = -jax.grad(utotal)(jnp.asarray(1.0, state.pos.dtype))
+    if cfg.use_pallas:
+        from . import pallas_pair
+
+        interpret = jax.default_backend() != "tpu"
+        _, _, _, w_all = pallas_pair.cell_pair_forces(
+            state.pos, state.type_id, state.active, state.box,
+            state.nbr.buckets, cfg.cell_dims, spec,
+            cfg.n_types, cfg.cell_cap, interpret=interpret,
+            uniform_lj=cfg.uniform_lj)
+        _, _, _, w_ex = pallas_pair.excluded_pair_correction(
+            spec, cfg.n_types, state.pos, state.box, state.type_id,
+            state.excl, active=state.active, has_tab=cfg.has_tabulated)
+        w = (w_all - w_ex) - jax.grad(u_bonded)(
+            jnp.asarray(1.0, state.pos.dtype))
+    else:
+        obs_x = observables.conversions(spec, state.type_id, state.chem_state,
+                                        state.active)
+        tab_a, tab_b, mix_x = pair_forces.resolve_pair_tables(
+            spec, obs_x, cfg.n_mix_entries)
+
+        def utotal(s):
+            pos = state.pos * s
+            box = state.box * s
+            _, e_pair = pair_forces.pair_forces(
+                spec, cfg.n_types, pos, box, state.type_id, state.q, state.lam,
+                state.nbr.idx, state.nbr.excl_mask, tab_a, tab_b, mix_x)
+            tot = u_bonded(s)
+            for v in e_pair.values():
+                tot = tot + v
+            return tot
+
+        w = -jax.grad(utotal)(jnp.asarray(1.0, state.pos.dtype))
     ekin = observables.kinetic_energy(state.mass, state.vel, state.active)
     vol = jnp.prod(state.box)
     return (2.0 * ekin + w) / (3.0 * vol)

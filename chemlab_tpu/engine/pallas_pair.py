@@ -162,6 +162,221 @@ def _kernel(*refs,
     force_ref[0] = jnp.stack(
         [fxyz[0], fxyz[1], fxyz[2], jnp.zeros_like(fxyz[0])], axis=0)
     energy_ref[0, 0] = 0.5 * jnp.sum(e_lj, axis=1)
+    # pair virial W = sum r.F = sum (F/r) r^2 — makes NPT runnable on the
+    # fast path (the strain-derivative virial needs per-step Verlet rows)
+    energy_ref[0, 1] = 0.5 * jnp.sum(f_lj * r2s, axis=1)
+
+
+def _packet_kernel(*refs, cap: int, n_types_pad: int, n_stencil: int,
+                   n_packets: int, uniform_lj: bool = False):
+    """Packet-grid kernel: grid (n_cells, cap//8); program (c, p) computes
+    rows [8p, 8p+8) of cell c against the full (8, S*cap) candidate tile.
+
+    The per-cell kernel pays cap x (S*cap) slots regardless of occupancy
+    (measured ~5x padding at 100k: cap 40 vs mean occupancy ~7); here the
+    row dimension shrinks to occupied 8-packets — programs whose packet
+    starts beyond the cell's fill skip the tile entirely (pl.when), so row
+    work tracks ceil(occ/8)*8 instead of cap.  Candidate lanes and the
+    type one-hot are materialized ONCE per cell into scratch (p == 0) and
+    reused by that cell's packets; row forces accumulate into a sublane-
+    oriented (cap, 8) scratch (sublane dynamic writes are cheap where lane
+    ones are not) and transpose into the output block at the last packet.
+
+    refs: counts (SMEM 1x1), cpos8 (1, cap, 8) [x,y,z,valid,type,...],
+          S x npos8, box, sig, eps, cut2, shift, islj,
+          force_out (1, 4, cap), energy_out (1, 1, cap);
+    scratch: acc (cap, 8), xj (8, S*cap), tjoh (Tp, S*cap).
+    """
+    counts_ref = refs[0]
+    cpos_ref = refs[1]
+    npos_refs = refs[2:2 + n_stencil]
+    box_ref = refs[2 + n_stencil]
+    sig_ref, eps_ref, cut2_ref, shift_ref, islj_ref = \
+        refs[3 + n_stencil:8 + n_stencil]
+    force_ref = refs[8 + n_stencil]
+    energy_ref = refs[9 + n_stencil]
+    acc_ref = refs[10 + n_stencil]
+    xj_ref = refs[11 + n_stencil]
+    tjoh_ref = refs[12 + n_stencil] if not uniform_lj else None
+
+    p = pl.program_id(1)
+    L = n_stencil * cap
+
+    @pl.when(p == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        xj = jnp.concatenate([r[0] for r in npos_refs], axis=0)  # (L, 8)
+        xj_ref[...] = xj.T                                       # (8, L)
+        if not uniform_lj:
+            iota_t = jax.lax.broadcasted_iota(jnp.float32,
+                                              (n_types_pad, L), 0)
+            tjoh_ref[...] = (xj_ref[4][None, :] == iota_t).astype(jnp.float32)
+
+    @pl.when(p * 8 < counts_ref[0, 0, 0])
+    def _compute():
+        xi = cpos_ref[0, pl.ds(p * 8, 8), :]  # (8, 8) sublane slice
+        box = box_ref[0]
+
+        dr = []
+        r2 = jnp.zeros((8, L), jnp.float32)
+        for ax in range(3):
+            d = xi[:, ax][:, None] - xj_ref[ax][None, :]
+            d = d - box[ax] * jnp.round(d / box[ax])
+            dr.append(d)
+            r2 = r2 + d * d
+
+        valid = (xi[:, 3][:, None] > 0.5) & (xj_ref[3][None, :] > 0.5)
+        valid &= r2 > 1e-12                   # self-pair suppression
+        r2s = jnp.where(valid, r2, 1.0)
+
+        if uniform_lj:
+            sig = sig_ref[0, 0]
+            eps = eps_ref[0, 0]
+            cut2 = cut2_ref[0, 0]
+            shift = shift_ref[0, 0]
+            in_cut = valid & (r2s < cut2)
+        else:
+            iota_i = jax.lax.broadcasted_iota(jnp.float32, (8, n_types_pad), 1)
+            ti_oh = (xi[:, 4][:, None] == iota_i).astype(jnp.float32)
+
+            def lut(m_ref):
+                return jnp.dot(ti_oh,
+                               jnp.dot(m_ref[...], tjoh_ref[...],
+                                       preferred_element_type=jnp.float32),
+                               preferred_element_type=jnp.float32)
+
+            sig = lut(sig_ref)
+            eps = lut(eps_ref)
+            cut2 = lut(cut2_ref)
+            shift = lut(shift_ref)
+            in_cut = valid & (r2s < cut2) & (lut(islj_ref) > 0.5)
+
+        # identical op sequence to _kernel/excluded_pair_correction
+        # (0.75-sigma soft core; see the f32-cancellation note there)
+        r2c = jnp.maximum(r2s, 0.5625 * (sig * sig))
+        s2 = (sig * sig) / r2c
+        s6 = s2 * s2 * s2
+        e_lj = jnp.where(in_cut, 4.0 * eps * (s6 * s6 - s6) - shift, 0.0)
+        f_lj = jnp.where(in_cut, 48.0 * eps * (s6 * s6 - 0.5 * s6) / r2c, 0.0)
+
+        cols = [jnp.sum(f_lj * d, axis=1) for d in dr]
+        cols.append(0.5 * jnp.sum(e_lj, axis=1))
+        cols.append(0.5 * jnp.sum(f_lj * r2s, axis=1))   # pair virial
+        out8 = jnp.stack(cols + [jnp.zeros_like(cols[0])] * 3, axis=1)  # (8, 8)
+        acc_ref[pl.ds(p * 8, 8), :] = out8
+
+    @pl.when(p == n_packets - 1)
+    def _flush():
+        acc = acc_ref[...]
+        force_ref[0] = acc[:, :4].T           # (4, cap): fx, fy, fz, e-junk
+        energy_ref[0, 0] = acc[:, 3].T
+        energy_ref[0, 1] = acc[:, 4].T
+
+
+def cell_pair_forces_packets(pos, type_id, active, box, buckets, dims, spec,
+                             n_types: int, cap: int, interpret: bool = False,
+                             uniform_lj: bool = False):
+    """Packet-grid LJ forces (see _packet_kernel). Same contract as
+    cell_pair_forces: the UNexcluded all-pairs sum."""
+    from jax.experimental import pallas as pl_mod
+    from jax.experimental.pallas import tpu as pltpu
+
+    global pl
+    pl = pl_mod
+
+    n_cells = int(np.prod(dims))
+    n = pos.shape[0]
+    rows = jnp.maximum(buckets[:n_cells], 0)                # (C, cap)
+    slot_valid = (buckets[:n_cells] >= 0) & active[rows]
+    cpos8 = jnp.concatenate(
+        [pos[rows],
+         slot_valid[..., None].astype(pos.dtype),
+         jnp.where(slot_valid, type_id[rows], 0).astype(pos.dtype)[..., None],
+         jnp.zeros(rows.shape + (3,), pos.dtype)], axis=-1)  # (C, cap, 8)
+    counts = jnp.sum(slot_valid, axis=1, dtype=I32)[:, None, None]  # (C,1,1)
+    box4 = jnp.concatenate([box, jnp.ones(1, box.dtype)])[None, :]
+
+    tpad = max(8, -(-n_types // 8) * 8)
+    is_lj = (spec.pair_kind == PAIR_LJ).astype(jnp.float32)
+    params = [
+        _pad_tt(spec.pair_sig, n_types, tpad),
+        _pad_tt(spec.pair_eps, n_types, tpad),
+        _pad_tt(spec.pair_cutoff2, n_types, tpad),
+        _pad_tt(spec.pair_shift, n_types, tpad),
+        _pad_tt(is_lj, n_types, tpad),
+    ]
+
+    from .neighbor import neighbor_cell_offsets
+
+    offsets = neighbor_cell_offsets(dims)
+    n_stencil = offsets.shape[0]
+    n_packets = cap // 8
+    L = n_stencil * cap
+    nx, ny, nz = (int(d) for d in dims)
+
+    def cell_map(c, p):
+        return (c, 0, 0)
+
+    def nbr_map_k(off):
+        dx, dy, dz = (int(o) for o in off)
+
+        def m(c, p):
+            cx = c // (ny * nz)
+            cy = (c // nz) % ny
+            cz = c % nz
+            cid = (((cx + dx) % nx) * ny + (cy + dy) % ny) * nz \
+                + (cz + dz) % nz
+            return (cid, 0, 0)
+
+        return m
+
+    def rep2(c, p):
+        return (0, 0)
+
+    bs = pl_mod.BlockSpec
+    in_specs = (
+        [bs((1, 1, 1), lambda c, p: (c, 0, 0), memory_space=pltpu.SMEM),
+         bs((1, cap, 8), cell_map)]
+        + [bs((1, cap, 8), nbr_map_k(off)) for off in offsets]
+        + [bs((1, 4), rep2)]
+        + [bs((tpad, tpad), rep2)] * 5
+    )
+    scratch = [
+        pltpu.VMEM((cap, 8), jnp.float32),
+        pltpu.VMEM((8, L), jnp.float32),
+    ]
+    if not uniform_lj:
+        scratch.append(pltpu.VMEM((tpad, L), jnp.float32))
+
+    call = pl_mod.pallas_call(
+        functools.partial(_packet_kernel, cap=cap, n_types_pad=tpad,
+                          n_stencil=n_stencil, n_packets=n_packets,
+                          uniform_lj=uniform_lj),
+        grid=(n_cells, n_packets),
+        in_specs=in_specs,
+        out_specs=(
+            bs((1, 4, cap), cell_map),
+            bs((1, 2, cap), cell_map),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_cells, 4, cap), jnp.float32),
+            jax.ShapeDtypeStruct((n_cells, 2, cap), jnp.float32),
+        ),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )
+    force_c, energy_c = call(counts, cpos8, *([cpos8] * n_stencil),
+                             box4, *params)
+
+    force = jnp.zeros((n, 3), pos.dtype)
+    flat_rows = jnp.where(slot_valid, rows, n).reshape(-1)
+    force = force.at[flat_rows].add(
+        force_c[:, :3, :].transpose(0, 2, 1).reshape(-1, 3), mode="drop")
+    sv = slot_valid.reshape(-1)
+    e = jnp.where(sv, energy_c[:, 0].reshape(-1), 0.0)
+    w = jnp.where(sv, energy_c[:, 1].reshape(-1), 0.0)
+    zero = jnp.asarray(0.0, pos.dtype)
+    return force, jnp.sum(e), zero, jnp.sum(w)
 
 
 def _pad_tt(a, n_types: int, pad: int):
@@ -176,14 +391,24 @@ def _pad_tt(a, n_types: int, pad: int):
 
 def cell_pair_forces(pos, type_id, active, box, buckets, dims, spec,
                      n_types: int, cap: int, interpret: bool = False,
-                     uniform_lj: bool = False):
+                     uniform_lj: bool = False, packets: bool | None = None):
     """All-pairs (minus nothing) cell-tile LJ forces.
 
     Returns (force (N,3), e_lj scalar, e_tab scalar == 0) over the UNexcluded
     all-pairs sum; callers subtract the exclusion-list contributions.
     ``buckets`` is (n_cells+1, cap) particle rows (-1 padded); ``dims`` the
-    static cell-grid dims.
+    static cell-grid dims.  Dispatches to the packet-grid kernel
+    (occupancy-gated row work) unless CHEMLAB_PACKET=0.
     """
+    import os
+
+    if packets is None:
+        packets = os.environ.get("CHEMLAB_PACKET", "1") != "0" and cap % 8 == 0
+    if packets:
+        return cell_pair_forces_packets(pos, type_id, active, box, buckets,
+                                        dims, spec, n_types, cap,
+                                        interpret=interpret,
+                                        uniform_lj=uniform_lj)
     from jax.experimental import pallas as pl_mod
 
     global pl
@@ -221,7 +446,7 @@ def cell_pair_forces(pos, type_id, active, box, buckets, dims, spec,
         grid_spec=pltpu_grid(n_cells, cap, tpad, dims, offsets),
         out_shape=(
             jax.ShapeDtypeStruct((n_cells, 4, cap), jnp.float32),
-            jax.ShapeDtypeStruct((n_cells, 1, cap), jnp.float32),
+            jax.ShapeDtypeStruct((n_cells, 2, cap), jnp.float32),
         ),
         interpret=interpret,
     )
@@ -235,10 +460,11 @@ def cell_pair_forces(pos, type_id, active, box, buckets, dims, spec,
     flat_rows = jnp.where(slot_valid, rows, n).reshape(-1)
     force = force.at[flat_rows].add(
         force_c[:, :3, :].transpose(0, 2, 1).reshape(-1, 3), mode="drop")
-    e = energy_c.reshape(-1)
-    e = jnp.where(slot_valid.reshape(-1), e, 0.0)
+    sv = slot_valid.reshape(-1)
+    e = jnp.where(sv, energy_c[:, 0].reshape(-1), 0.0)
+    w = jnp.where(sv, energy_c[:, 1].reshape(-1), 0.0)
     zero = jnp.asarray(0.0, pos.dtype)
-    return force, jnp.sum(e), zero
+    return force, jnp.sum(e), zero, jnp.sum(w)
 
 
 def pltpu_grid(n_cells, cap, tpad, dims, offsets):
@@ -282,7 +508,7 @@ def pltpu_grid(n_cells, cap, tpad, dims, offsets):
         ),
         out_specs=(
             bs((1, 4, cap), cell_map),
-            bs((1, 1, cap), cell_map),
+            bs((1, 2, cap), cell_map),
         ),
     )
 
@@ -340,4 +566,7 @@ def excluded_pair_correction(spec, n_types, pos, box, type_id, excl,
     force = jnp.zeros_like(pos)
     force = force.at[jnp.where(valid, ic, n)].add(f_over_r, mode="drop")
     force = force.at[jnp.where(valid, jc, n)].add(-f_over_r, mode="drop")
-    return force, jnp.sum(e_lj), jnp.sum(e_tab)
+    # pair virial of the excluded pairs — same (F/r) * r^2 form as the
+    # kernel so the subtraction cancels exactly
+    w = jnp.sum((f_lj + f_tab) * r2s)
+    return force, jnp.sum(e_lj), jnp.sum(e_tab), w

@@ -31,10 +31,10 @@ def _xla_pair(spec, cfg, st):
 
 
 def _pallas_pair(spec, cfg, st):
-    f_all, e_lj, e_tab = pallas_pair.cell_pair_forces(
+    f_all, e_lj, e_tab, _ = pallas_pair.cell_pair_forces(
         st.pos, st.type_id, st.active, st.box, st.nbr.buckets,
         cfg.cell_dims, spec, cfg.n_types, cfg.cell_cap, interpret=True)
-    f_ex, e_lj_ex, e_tab_ex = pallas_pair.excluded_pair_correction(
+    f_ex, e_lj_ex, e_tab_ex, _ = pallas_pair.excluded_pair_correction(
         spec, cfg.n_types, st.pos, st.box, st.type_id, st.excl)
     return f_all - f_ex, float(e_lj - e_lj_ex), float(e_tab - e_tab_ex)
 
@@ -47,6 +47,48 @@ def test_lj_matches_xla(melt):
     assert e_lj == pytest.approx(float(e_ref["lj"]), rel=1e-5)
     np.testing.assert_allclose(np.asarray(f_pal), np.asarray(f_ref),
                                atol=2e-3, rtol=1e-4)
+
+
+def test_packet_kernel_matches_cell_kernel(melt):
+    """The packet-grid kernel (grid (cell, packet-of-8), occupancy-gated)
+    is bit-identical to the per-cell kernel: same tile math, only the row
+    scheduling differs."""
+    built, st = melt
+    spec, cfg = built.spec, built.cfg
+    args = (st.pos, st.type_id, st.active, st.box, st.nbr.buckets,
+            cfg.cell_dims, spec, cfg.n_types, cfg.cell_cap)
+    f_old, e_old, _, w_old = pallas_pair.cell_pair_forces(*args,
+                                                          interpret=True,
+                                                          packets=False)
+    f_new, e_new, _, w_new = pallas_pair.cell_pair_forces(*args,
+                                                          interpret=True,
+                                                          packets=True)
+    assert float(e_old) == float(e_new)
+    assert float(w_old) == float(w_new)
+    assert np.array_equal(np.asarray(f_old), np.asarray(f_new))
+    # uniform-LJ shortcut too
+    f_u, e_u, _, w_u = pallas_pair.cell_pair_forces(*args, interpret=True,
+                                                    packets=True,
+                                                    uniform_lj=True)
+    assert float(e_u) == float(e_old)
+    assert float(w_u) == float(w_old)
+    assert np.array_equal(np.asarray(f_u), np.asarray(f_old))
+
+
+def test_pallas_virial_matches_strain_derivative(melt):
+    """The kernel's pair-virial channel (minus exclusions) + bonded strain
+    derivative reproduces the row path's full strain-derivative pressure —
+    barostatted runs stay on the fast path."""
+    import dataclasses
+
+    from chemlab_tpu.engine import integrate
+
+    built, st = melt
+    spec, cfg = built.spec, built.cfg
+    p_row = float(integrate.virial_pressure(spec, cfg, st))
+    cfg_p = dataclasses.replace(cfg, use_pallas=True)
+    p_pal = float(integrate.virial_pressure(spec, cfg_p, st))
+    assert p_pal == pytest.approx(p_row, rel=2e-3, abs=2e-4), (p_row, p_pal)
 
 
 def test_tabulated_systems_fall_back_to_xla(melt):
