@@ -27,12 +27,35 @@ from chemlab_tpu import files_io, reaction_parser  # noqa: E402
 from chemlab_tpu.engine import build, integrate, tables  # noqa: E402
 from chemlab_tpu.topology import build_system_topology  # noqa: E402
 
+# (label, example dir relative to /root/reference/examples). Cutoffs and
+# the reaction cfg name come from each example's own params file.
 EXAMPLES = [
-    ("atrp_lj", "/root/reference/examples/atrp_lj", "atrp.cfg",
-     dict(lj_cutoff=2.5, cg_cutoff=2.5)),
-    ("atrp_activator", "/root/reference/examples/atrp_activator", "atrp.cfg",
-     dict(lj_cutoff=1.0, cg_cutoff=1.0)),
+    ("atrp_lj", "atrp_lj"),
+    ("atrp_activator", "atrp_activator"),
+    ("pccg_lj", "pccg_lj/chemical_reactions"),
+    ("chain_growth_catalytic", "chain_growth_catalytic"),
+    ("hyperbranched", "hyperbranched"),
+    ("mf_espp_cg_1", "mf/espp_cg_1"),
+    ("mf_espp_cg_1_water", "mf/espp_cg_1_water"),
+    ("rim135", "rim135"),
+    ("dacron_no_water", "dacron/no_water/test_1"),
+    ("dacron_with_water", "dacron/with_water/test_3"),
+    ("dacron_restrict", "dacron/restrict"),
 ]
+
+REF_EXAMPLES = "/root/reference/examples"
+
+
+def parse_params(path):
+    """key=value pairs from a reference @params file."""
+    out = {}
+    with open(path) as f:
+        for line in f:
+            line = line.split("#")[0].split(";")[0].strip()
+            if "=" in line:
+                k, v = line.split("=", 1)
+                out[k.strip().lstrip("-")] = v.strip()
+    return out
 
 IDD_ITP = """\
 [ moleculetype ]
@@ -47,23 +70,74 @@ IDD 1
 """
 
 
-def prep_example(ex):
-    """Copy to scratch; reconstruct the never-shipped idd.itp (see
-    scripts/run_examples.py for the provenance argument)."""
+def prep_example(rel):
+    """Copy to scratch with the same degraded-input synthesis as the example
+    runner (scripts/run_examples.py): reconstruct never-shipped includes,
+    mix/zero stale tables on demand.  Returns (workdir, synthesized_list)."""
     import shutil
     import tempfile
-    work = os.path.join(tempfile.mkdtemp(prefix="tabfid_"),
-                        os.path.basename(ex))
-    shutil.copytree(ex, work)
-    idd = os.path.join(work, "idd.itp")
-    if "atrp_activator" in ex and not os.path.exists(idd):
-        with open(idd, "w") as f:
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from run_examples import _MISSING_INCLUDES  # noqa: E402
+
+    src = os.path.join(REF_EXAMPLES, rel)
+    scratch = tempfile.mkdtemp(prefix="tabfid_")
+    work = os.path.join(scratch, os.path.basename(rel))
+    shutil.copytree(src, work)
+    parent = os.path.dirname(src)
+    for extra in os.listdir(parent):
+        p = os.path.join(parent, extra)
+        if os.path.isfile(p) and not os.path.exists(
+                os.path.join(scratch, extra)):
+            shutil.copy(p, scratch)
+    synthesized = []
+    for fname, text in _MISSING_INCLUDES.get(os.path.basename(rel), {}).items():
+        if not os.path.exists(os.path.join(work, fname)):
+            with open(os.path.join(work, fname), "w") as f:
+                f.write(text)
+            synthesized.append("%s(reconstructed)" % fname)
+    if "atrp_activator" in rel and not os.path.exists(
+            os.path.join(work, "idd.itp")):
+        with open(os.path.join(work, "idd.itp"), "w") as f:
             f.write(IDD_ITP)
-        # the example also lacks its table_a0 (stale); zero angle table
-        x = np.linspace(0.0, 180.0, 361)
-        np.savetxt(os.path.join(work, "table_a0.xvg"),
-                   np.column_stack([x, 0 * x, 0 * x]))
-    return work
+        synthesized.append("idd.itp(reconstructed)")
+    return work, synthesized
+
+
+def build_with_synthesis(work, synthesized):
+    """Build the system, synthesizing missing tables on demand exactly like
+    the runner does (mix heterotype parents / zero + mark degraded)."""
+    from run_examples import synthesize_table
+
+    params = parse_params(os.path.join(work, "params"))
+    opts = build.SimOptions(
+        lj_cutoff=float(params.get("lj_cutoff", 2.5) or 2.5),
+        cg_cutoff=float(params.get("cg_cutoff", 2.5) or 2.5),
+        coulomb_cutoff=float(params.get("coulomb_cutoff", 0) or 0),
+        skin=0.4, dt=float(params.get("dt", 0.0025) or 0.0025), kT=1.0,
+        table_dirs=(work, os.path.dirname(work)))
+    top_name = params.get("top", params.get("topology", "topol.top"))
+    systop = build_system_topology(os.path.join(work, top_name))
+    coords = files_io.read_gro(os.path.join(work, params.get("conf",
+                                                             "conf.gro")))
+    rcfg = None
+    if params.get("reactions"):
+        rcfg = reaction_parser.parse_config(
+            os.path.join(work, params["reactions"]))
+    for _ in range(40):
+        try:
+            bs = build.build_system(systop, coords, opts,
+                                    reaction_config=rcfg)
+            return bs, opts, synthesized
+        except FileNotFoundError as exc:
+            import re as re_mod
+            m = re_mod.search(r"table (table_\w+?)(?:\.\w+)? not found",
+                              str(exc))
+            if not m:
+                raise
+            how = synthesize_table(work, m.group(1))
+            synthesized.append("%s(%s)" % (m.group(1), how))
+    raise RuntimeError("table synthesis loop did not converge")
 
 
 def host_tabulated_pair_energy(systop, coords, spec, state, cfg):
@@ -112,39 +186,50 @@ def host_tabulated_pair_energy(systop, coords, spec, state, cfg):
 
 
 def main():
-    lines = ["# Tabulated-potential fidelity (round 2)", "",
-             "Production path: itype-aware resample (1 linear / 2 Akima / 3 "
-             "cubic) onto a %d-bin float32 uniform grid + linear device "
-             "lookup. Error vs direct float64 itype interpolation of the "
-             "source points, max over 20k off-grid queries." %
+    lines = ["# Tabulated-potential fidelity (round 3)", "",
+             "Every runnable reference example family: per-table fidelity of "
+             "the production path (itype-aware resample, 1 linear / 2 Akima "
+             "/ 3 cubic, onto a %d-bin float32 uniform grid + linear device "
+             "lookup) vs direct float64 itype interpolation of the source "
+             "points (20k off-grid queries), plus a step-0 cross-check of "
+             "the engine's tabulated pair energy against an independent "
+             "float64 O(N^2) host recomputation.  Synthesized inputs (the "
+             "published dirs are stale; the reference crashes on them too) "
+             "are listed per example so the exercised physics is explicit." %
              tables.DEFAULT_BINS, ""]
     worst = 0.0
-    for label, ex, cfgname, opts_kw in EXAMPLES:
-        ex = prep_example(ex)
-        systop = build_system_topology(os.path.join(ex, "topol.top"))
-        coords = files_io.read_gro(os.path.join(ex, "conf.gro"))
-        rcfg = reaction_parser.parse_config(os.path.join(ex, cfgname))
-        opts = build.SimOptions(skin=0.4, dt=0.0025, kT=1.0,
-                                table_dirs=(ex,), **opts_kw)
-        bs = build.build_system(systop, coords, opts, reaction_config=rcfg)
+    worst_xcheck = 0.0
+    for label, rel in EXAMPLES:
+        try:
+            work, synthesized = prep_example(rel)
+            bs, opts, synthesized = build_with_synthesis(work, synthesized)
+        except Exception as exc:
+            lines += ["## %s" % label, "",
+                      "BUILD FAILED: %s: %s" % (type(exc).__name__,
+                                                str(exc)[:300]), ""]
+            continue
+        systop = build_system_topology(
+            os.path.join(work, parse_params(os.path.join(work, "params"))
+                         .get("top", "topol.top")))
         lines.append("## %s" % label)
         lines.append("")
+        if synthesized:
+            lines.append("Synthesized inputs: " + ", ".join(synthesized))
+            lines.append("")
         lines.append("| table | itype | max dE | max relE | max dF |")
         lines.append("|---|---|---|---|---|")
-        import chemlab_tpu.engine.build as bmod  # rebuilt builders not kept;
-        # rebuild the stacks through a fresh builder pass for the report
+        import chemlab_tpu.engine.build as bmod
         nb_tb = tables.TableStackBuilder(opts.n_bins)
-        bond_tb = tables.TableStackBuilder(opts.n_bins)
-        angle_tb = tables.TableStackBuilder(opts.n_bins)
-        dih_tb = tables.TableStackBuilder(opts.n_bins)
         obs = bmod.ObsRegistry()
         bmod._build_pair_tables(systop, opts, nb_tb, obs)
-        for tb in (nb_tb, bond_tb, angle_tb, dih_tb):
-            for name, itype, ae, re_, af in tb.fidelity_report():
-                worst = max(worst, re_)
-                lines.append("| %s | %d | %.3g | %.3g | %.3g |"
-                             % (os.path.basename(name), itype, ae, re_, af))
-        # step-0 energies from the engine
+        n_rows = 0
+        for name, itype, ae, re_, af in nb_tb.fidelity_report():
+            worst = max(worst, re_)
+            n_rows += 1
+            lines.append("| %s | %d | %.3g | %.3g | %.3g |"
+                         % (os.path.basename(name), itype, ae, re_, af))
+        if not n_rows:
+            lines.append("| (no tabulated nonbonded pairs) | | | | |")
         force, energies, _ = integrate.compute_forces(bs.spec, bs.cfg,
                                                       bs.state)
         lines.append("")
@@ -152,17 +237,23 @@ def main():
                      ", ".join("%s=%.6g" % (k, float(v))
                                for k, v in sorted(energies.items())
                                if abs(float(v)) > 0))
-        if label == "atrp_activator":
+        if bs.cfg.has_tabulated and bs.cfg.n_particles <= 20000:
+            coords = files_io.read_gro(
+                os.path.join(work, parse_params(
+                    os.path.join(work, "params")).get("conf", "conf.gro")))
             e64 = host_tabulated_pair_energy(systop, coords, bs.spec,
                                              bs.state, bs.cfg)
             e32 = float(energies.get("lj-tab", 0.0))
-            rel = abs(e32 - e64) / max(abs(e64), 1e-30)
+            rel_e = abs(e32 - e64) / max(abs(e64), 1e-30)
+            worst_xcheck = max(worst_xcheck, rel_e)
             lines.append("")
-            lines.append("Tabulated pair energy cross-check (f64 host "
-                         "recomputation of the same grid): engine=%.8g "
-                         "host64=%.8g rel=%.3g" % (e32, e64, rel))
+            lines.append("Tabulated pair energy cross-check (independent "
+                         "f64 host recomputation): engine=%.8g host64=%.8g "
+                         "rel=%.3g" % (e32, e64, rel_e))
         lines.append("")
     lines.append("Worst per-table max relative energy error: %.3g" % worst)
+    lines.append("Worst step-0 tabulated-energy cross-check rel error: %.3g"
+                 % worst_xcheck)
     lines.append("")
     lines.append("itype-1 tables on uniform source grids (all published "
                  "tables) are embedded exactly — the device linear lookup "
