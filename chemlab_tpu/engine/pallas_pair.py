@@ -273,6 +273,187 @@ def _packet_kernel(*refs, cap: int, n_types_pad: int, n_stencil: int,
         energy_ref[0, 1] = acc[:, 4].T
 
 
+def _resident_kernel(*refs, cap: int, n_types_pad: int, n_packets: int,
+                     dims, offsets, uniform_lj: bool = False):
+    """VMEM-resident packet kernel: the whole cell-dense position/type array
+    lives in VMEM for the kernel's lifetime, so programs read their stencil
+    blocks directly instead of streaming 27 operand DMAs per program — the
+    streamed kernels measured DMA-latency-bound (~3-11 us per program at 10k
+    with compute nearly free).  Grid (n_cells, cap//8); candidate tile and
+    one-hots build once per cell into scratch, packets early-exit on the
+    cell fill.  Gated by VMEM budget (cell-dense array ~4.3 MB at 100k).
+
+    refs: counts (SMEM (C,1,1)), cpos8 (VMEM (C, cap, 8)), box (1, 8),
+          sig, eps, cut2, shift, islj, force_out (C, 4, cap),
+          energy_out (C, 2, cap);
+    scratch: acc (cap, 8), xj (S*cap, 8), xjT (8, S*cap), tjoh (Tp, S*cap).
+    """
+    counts_ref, cpos_ref, box_ref = refs[0], refs[1], refs[2]
+    sig_ref, eps_ref, cut2_ref, shift_ref, islj_ref = refs[3:8]
+    force_ref, energy_ref = refs[8], refs[9]
+    acc_ref, xj_ref, xjT_ref = refs[10], refs[11], refs[12]
+    tjoh_ref = refs[13] if not uniform_lj else None
+
+    c = pl.program_id(0)
+    p = pl.program_id(1)
+    nx, ny, nz = dims
+    n_stencil = len(offsets)
+    L = n_stencil * cap
+
+    @pl.when(p == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        cx = c // (ny * nz)
+        cy = (c // nz) % ny
+        cz = c % nz
+        for k, (dx, dy, dz) in enumerate(offsets):
+            cid = (((cx + dx) % nx) * ny + (cy + dy) % ny) * nz \
+                + (cz + dz) % nz
+            xj_ref[pl.ds(k * cap, cap), :] = cpos_ref[cid]
+        xjT_ref[...] = xj_ref[...].T
+        if not uniform_lj:
+            iota_t = jax.lax.broadcasted_iota(jnp.float32,
+                                              (n_types_pad, L), 0)
+            tjoh_ref[...] = (xjT_ref[4][None, :] == iota_t).astype(jnp.float32)
+
+    @pl.when(p * 8 < counts_ref[c, 0, 0])
+    def _compute():
+        xi = cpos_ref[c, pl.ds(p * 8, 8), :]  # (8, 8)
+        box = box_ref[0]
+
+        dr = []
+        r2 = jnp.zeros((8, L), jnp.float32)
+        for ax in range(3):
+            d = xi[:, ax][:, None] - xjT_ref[ax][None, :]
+            d = d - box[ax] * jnp.round(d / box[ax])
+            dr.append(d)
+            r2 = r2 + d * d
+
+        valid = (xi[:, 3][:, None] > 0.5) & (xjT_ref[3][None, :] > 0.5)
+        valid &= r2 > 1e-12
+        r2s = jnp.where(valid, r2, 1.0)
+
+        if uniform_lj:
+            sig = sig_ref[0, 0]
+            eps = eps_ref[0, 0]
+            cut2 = cut2_ref[0, 0]
+            shift = shift_ref[0, 0]
+            in_cut = valid & (r2s < cut2)
+        else:
+            iota_i = jax.lax.broadcasted_iota(jnp.float32, (8, n_types_pad), 1)
+            ti_oh = (xi[:, 4][:, None] == iota_i).astype(jnp.float32)
+
+            def lut(m_ref):
+                return jnp.dot(ti_oh,
+                               jnp.dot(m_ref[...], tjoh_ref[...],
+                                       preferred_element_type=jnp.float32),
+                               preferred_element_type=jnp.float32)
+
+            sig = lut(sig_ref)
+            eps = lut(eps_ref)
+            cut2 = lut(cut2_ref)
+            shift = lut(shift_ref)
+            in_cut = valid & (r2s < cut2) & (lut(islj_ref) > 0.5)
+
+        # identical op sequence to _kernel/excluded_pair_correction
+        r2c = jnp.maximum(r2s, 0.5625 * (sig * sig))
+        s2 = (sig * sig) / r2c
+        s6 = s2 * s2 * s2
+        e_lj = jnp.where(in_cut, 4.0 * eps * (s6 * s6 - s6) - shift, 0.0)
+        f_lj = jnp.where(in_cut, 48.0 * eps * (s6 * s6 - 0.5 * s6) / r2c, 0.0)
+
+        cols = [jnp.sum(f_lj * d, axis=1) for d in dr]
+        cols.append(0.5 * jnp.sum(e_lj, axis=1))
+        cols.append(0.5 * jnp.sum(f_lj * r2s, axis=1))
+        out8 = jnp.stack(cols + [jnp.zeros_like(cols[0])] * 3, axis=1)
+        acc_ref[pl.ds(p * 8, 8), :] = out8
+
+    @pl.when(p == n_packets - 1)
+    def _flush():
+        acc = acc_ref[...]
+        force_ref[c] = acc[:, :4].T
+        energy_ref[c] = acc[:, 3:5].T
+
+
+def cell_pair_forces_resident(pos, type_id, active, box, buckets, dims, spec,
+                              n_types: int, cap: int, interpret: bool = False,
+                              uniform_lj: bool = False):
+    """VMEM-resident packet kernel (see _resident_kernel).  Same contract as
+    cell_pair_forces."""
+    from jax.experimental import pallas as pl_mod
+    from jax.experimental.pallas import tpu as pltpu
+
+    global pl
+    pl = pl_mod
+
+    n_cells = int(np.prod(dims))
+    n = pos.shape[0]
+    rows = jnp.maximum(buckets[:n_cells], 0)
+    slot_valid = (buckets[:n_cells] >= 0) & active[rows]
+    cpos8 = jnp.concatenate(
+        [pos[rows],
+         slot_valid[..., None].astype(pos.dtype),
+         jnp.where(slot_valid, type_id[rows], 0).astype(pos.dtype)[..., None],
+         jnp.zeros(rows.shape + (3,), pos.dtype)], axis=-1)
+    counts = jnp.sum(slot_valid, axis=1, dtype=I32)[:, None, None]
+    box8 = jnp.concatenate([box, jnp.ones(5, box.dtype)])[None, :]
+
+    tpad = max(8, -(-n_types // 8) * 8)
+    is_lj = (spec.pair_kind == PAIR_LJ).astype(jnp.float32)
+    params = [
+        _pad_tt(spec.pair_sig, n_types, tpad),
+        _pad_tt(spec.pair_eps, n_types, tpad),
+        _pad_tt(spec.pair_cutoff2, n_types, tpad),
+        _pad_tt(spec.pair_shift, n_types, tpad),
+        _pad_tt(is_lj, n_types, tpad),
+    ]
+
+    from .neighbor import neighbor_cell_offsets
+
+    offsets = tuple(tuple(int(x) for x in o)
+                    for o in neighbor_cell_offsets(dims))
+    n_stencil = len(offsets)
+    n_packets = cap // 8
+    L = n_stencil * cap
+
+    full = pl_mod.BlockSpec(memory_space=pltpu.VMEM)
+    in_specs = ([pl_mod.BlockSpec(memory_space=pltpu.SMEM), full, full]
+                + [full] * 5)
+    scratch = [
+        pltpu.VMEM((cap, 8), jnp.float32),
+        pltpu.VMEM((L, 8), jnp.float32),
+        pltpu.VMEM((8, L), jnp.float32),
+    ]
+    if not uniform_lj:
+        scratch.append(pltpu.VMEM((tpad, L), jnp.float32))
+
+    call = pl_mod.pallas_call(
+        functools.partial(_resident_kernel, cap=cap, n_types_pad=tpad,
+                          n_packets=n_packets, dims=tuple(int(d) for d in dims),
+                          offsets=offsets, uniform_lj=uniform_lj),
+        grid=(n_cells, n_packets),
+        in_specs=in_specs,
+        out_specs=(full, full),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_cells, 4, cap), jnp.float32),
+            jax.ShapeDtypeStruct((n_cells, 2, cap), jnp.float32),
+        ),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )
+    force_c, energy_c = call(counts, cpos8, box8, *params)
+
+    force = jnp.zeros((n, 3), pos.dtype)
+    flat_rows = jnp.where(slot_valid, rows, n).reshape(-1)
+    force = force.at[flat_rows].add(
+        force_c[:, :3, :].transpose(0, 2, 1).reshape(-1, 3), mode="drop")
+    sv = slot_valid.reshape(-1)
+    e = jnp.where(sv, energy_c[:, 0].reshape(-1), 0.0)
+    w = jnp.where(sv, energy_c[:, 1].reshape(-1), 0.0)
+    zero = jnp.asarray(0.0, pos.dtype)
+    return force, jnp.sum(e), zero, jnp.sum(w)
+
+
 def cell_pair_forces_packets(pos, type_id, active, box, buckets, dims, spec,
                              n_types: int, cap: int, interpret: bool = False,
                              uniform_lj: bool = False):
@@ -402,9 +583,24 @@ def cell_pair_forces(pos, type_id, active, box, buckets, dims, spec,
     """
     import os
 
-    if packets is None:
-        packets = os.environ.get("CHEMLAB_PACKET", "1") != "0" and cap % 8 == 0
-    if packets:
+    choice = os.environ.get("CHEMLAB_KERNEL", "")
+    if not choice:
+        # legacy toggle
+        if os.environ.get("CHEMLAB_PACKET", "") == "0" or packets is False:
+            choice = "cell"
+        elif packets:
+            choice = "packet"
+    if not choice:
+        n_cells = int(np.prod(dims))
+        vmem_mb = (n_cells * cap * (8 + 4 + 2) * 4) / 1e6
+        choice = ("resident" if cap % 8 == 0 and vmem_mb <= 10.0
+                  else "packet" if cap % 8 == 0 else "cell")
+    if choice == "resident" and cap % 8 == 0:
+        return cell_pair_forces_resident(pos, type_id, active, box, buckets,
+                                         dims, spec, n_types, cap,
+                                         interpret=interpret,
+                                         uniform_lj=uniform_lj)
+    if choice == "packet" and cap % 8 == 0:
         return cell_pair_forces_packets(pos, type_id, active, box, buckets,
                                         dims, spec, n_types, cap,
                                         interpret=interpret,

@@ -28,6 +28,25 @@ def test_pressure_bar_to_engine_units():
     assert opts0.pressure == 0.0 and opts0.barostat == "no"
 
 
+def test_npt_runs_on_pallas_fast_path():
+    """With the kernel's pair-virial channel the build no longer disables
+    pallas under a barostat; a short barostatted run on the fast path stays
+    finite and actually moves the box."""
+    built, _, _ = testsystems.build_melt(
+        n_mols=40, density=0.3, reactive=False, seed=3, barostat="br",
+        pressure=0.15, barostat_tau=2.0, store_pressure=True,
+        use_pallas=True)
+    spec, cfg = built.spec, built.cfg
+    assert cfg.use_pallas and cfg.barostat == "br"
+    st = runner.initial_forces(spec, cfg, built.state)
+    st = testsystems.warmup(built, st, steps=60)
+    box0 = float(st.box[0])
+    st = runner.run_block(spec, cfg, st, 120)
+    assert np.isfinite(float(st.pos.sum()))
+    assert np.isfinite(float(integrate.virial_pressure(spec, cfg, st)))
+    assert float(st.box[0]) != box0
+
+
 def test_berendsen_barostat_relaxes_to_target_pressure():
     """An LJ melt under the Berendsen barostat relaxes until the measured
     virial pressure matches the target (box density equilibrates)."""
