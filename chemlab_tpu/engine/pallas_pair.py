@@ -591,10 +591,13 @@ def cell_pair_forces(pos, type_id, active, box, buckets, dims, spec,
         elif packets:
             choice = "packet"
     if not choice:
-        n_cells = int(np.prod(dims))
-        vmem_mb = (n_cells * cap * (8 + 4 + 2) * 4) / 1e6
-        choice = ("resident" if cap % 8 == 0 and vmem_mb <= 10.0
-                  else "packet" if cap % 8 == 0 else "cell")
+        # Measured on v5e (10k melt): the per-cell kernel is DMA-latency
+        # bound (~11 us/program), the packet variant trades fewer row slots
+        # for more programs at par, and the resident variant's (C, cap, 8)
+        # operand lane-pads 8 -> 128 in VMEM (16x) and OOMs scoped vmem.
+        # Default to the proven per-cell kernel; the variants stay
+        # selectable (CHEMLAB_KERNEL=packet|resident) for tuning.
+        choice = "cell"
     if choice == "resident" and cap % 8 == 0:
         return cell_pair_forces_resident(pos, type_id, active, box, buckets,
                                          dims, spec, n_types, cap,
