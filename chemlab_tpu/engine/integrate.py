@@ -227,7 +227,7 @@ def maybe_rebuild_neighbors(spec: SimSpec, cfg: EngineConfig, state: MDState,
             dims=cfg.cell_dims, cell_cap=cfg.cell_cap,
             max_neighbors=cfg.max_neighbors, excl_cap=cfg.excl_cap,
             track_birth=cfg.has_pps, prev=st.nbr if cfg.has_pps else None,
-            step=st.step)
+            step=st.step, mesh=cfg.mesh)
         nbr = dataclasses.replace(
             nbr,
             n_rebuilds=st.nbr.n_rebuilds + 1,

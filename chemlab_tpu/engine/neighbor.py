@@ -25,6 +25,28 @@ from .state import NeighborState
 I32 = jnp.int32
 
 
+def row_constraint(mesh):
+    """Row-sharding constraint applier for (N, ...) planes.
+
+    With a mesh, returns a function pinning dim 0 to the mesh's (single) data
+    axis via ``with_sharding_constraint``; without one, the identity.  The
+    rebuild's candidate planes are the largest buffers in the whole step
+    ((N, S*cap) ~ 432 MB at 100k) and GSPMD drops their row partitioning
+    across the block-gather/reshape boundaries unless constrained.
+    """
+    if mesh is None:
+        return lambda x: x
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    ax = mesh.axis_names[0]
+
+    def constrain(x):
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, PartitionSpec(ax, *([None] * (x.ndim - 1)))))
+
+    return constrain
+
+
 def choose_cell_grid(box: np.ndarray, rc_skin: float, margin: float = 1.02):
     """Pick static cell-grid dims: cell edge >= rc_skin * margin.
 
@@ -110,10 +132,10 @@ def build_exclusion_rows(excl_pairs, n_pad, excl_cap):
 
 
 @functools.partial(jax.jit, static_argnames=("dims", "cell_cap", "max_neighbors",
-                                             "excl_cap", "track_birth"))
+                                             "excl_cap", "track_birth", "mesh"))
 def build_neighbor_state(pos, box, active, excl_pairs, rc_skin, *, dims, cell_cap,
                          max_neighbors, excl_cap, track_birth: bool = False,
-                         prev=None, step=None):
+                         prev=None, step=None, mesh=None):
     """Build a fresh NeighborState.
 
     Rows list the K nearest in-range (< rc_skin) active candidates of each
@@ -126,14 +148,15 @@ def build_neighbor_state(pos, box, active, excl_pairs, rc_skin, *, dims, cell_ca
     previous list inherit their birth step, new pairs start at ``step``.
     """
     n_pad = pos.shape[0]
+    rows = row_constraint(mesh)
     buckets, ci, overflow = build_cell_buckets(pos, box, active, dims, cell_cap)
     offsets = jnp.asarray(neighbor_cell_offsets(dims))  # (S, 3)
     dims_a = jnp.asarray(dims, dtype=I32)
 
     # candidate cells per particle: (N, S)
     nc = (ci[:, None, :] + offsets[None, :, :]) % dims_a
-    ncid = (nc[..., 0] * dims[1] + nc[..., 1]) * dims[2] + nc[..., 2]
-    cand = buckets[ncid].reshape(n_pad, -1)  # (N, S*cap)
+    ncid = rows((nc[..., 0] * dims[1] + nc[..., 1]) * dims[2] + nc[..., 2])
+    cand = rows(buckets[ncid].reshape(n_pad, -1))  # (N, S*cap)
 
     # squared distances with minimum image on per-axis (N, S*cap) planes.
     # Candidate positions are fetched CELL-BLOCK-wise: scatter each axis
@@ -150,30 +173,55 @@ def build_neighbor_state(pos, box, active, excl_pairs, rc_skin, *, dims, cell_ca
     d2 = jnp.zeros(cand.shape, pos.dtype)
     for ax in range(3):
         cplane = pos[:, ax][rows_safe]                   # (C+1, cap)
-        cand_ax = cplane[ncid].reshape(n_pad, -1)        # block-row gather
+        cand_ax = rows(cplane[ncid].reshape(n_pad, -1))  # block-row gather
         d = cand_ax - pos[:, ax][:, None]
         d -= box[ax] * jnp.round(d / box[ax])
         d2 += d * d
+    d2 = rows(d2)
 
     self_idx = jnp.arange(n_pad, dtype=I32)
     valid = (cand >= 0) & (cand != self_idx[:, None]) & (d2 < rc_skin * rc_skin)
     valid &= active[cand_safe] & active[:, None]
+    valid = rows(valid)
 
     # nearest-K compaction via top_k on -d2: measured 2x faster than the
     # cumsum + flat-scatter pack on v5e (scatters serialize), and when a
     # row has more than K in-range candidates it keeps the NEAREST K
     # instead of an arbitrary subset (the overflow flag still rises)
-    _, sel = jax.lax.top_k(-jnp.where(valid, d2, jnp.inf), max_neighbors)
+    neg_d2 = -jnp.where(valid, d2, jnp.inf)
+    if mesh is None:
+        _, sel = jax.lax.top_k(neg_d2, max_neighbors)
+    else:
+        # top_k lowers to a TopK custom-call GSPMD cannot partition: it
+        # all-gathers the (N, S*cap) plane (412 MB at 100k) and replicates
+        # the outputs.  Row-wise top_k is embarrassingly parallel, so run it
+        # per-device under shard_map — bit-identical per-row results to the
+        # global call, zero collectives.
+        from jax.sharding import PartitionSpec
+
+        try:
+            from jax import shard_map
+        except ImportError:          # older jax
+            from jax.experimental.shard_map import shard_map
+
+        ax = mesh.axis_names[0]
+        sel = shard_map(
+            lambda x: jax.lax.top_k(x, max_neighbors)[1],
+            mesh=mesh,
+            in_specs=PartitionSpec(ax, None),
+            out_specs=PartitionSpec(ax, None))(neg_d2)
+    sel = rows(sel)
     nbr = jnp.take_along_axis(cand_safe, sel, axis=1)
     ok = jnp.take_along_axis(valid, sel, axis=1)
-    nbr = jnp.where(ok, nbr, self_idx[:, None])
+    nbr = rows(jnp.where(ok, nbr, self_idx[:, None]))
     nbr_overflow = jnp.max(jnp.sum(valid.astype(I32), axis=1)) > max_neighbors
 
     # exclusion mask — broadcast with K (not EXCL_CAP) as the minor dim:
     # (N, EXCL_CAP, K) keeps the 128-lane axis well filled, where
     # (N, K, EXCL_CAP) would pad a ~16-wide lane dim 8x
     excl_rows, excl_overflow = build_exclusion_rows(excl_pairs, n_pad, excl_cap)
-    excl_mask = jnp.any(nbr[:, None, :] == excl_rows[:, :, None], axis=1)
+    excl_rows = rows(excl_rows)
+    excl_mask = rows(jnp.any(nbr[:, None, :] == excl_rows[:, :, None], axis=1))
 
     if track_birth:
         now = jnp.asarray(0 if step is None else step, I32)

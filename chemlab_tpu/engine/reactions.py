@@ -1196,7 +1196,7 @@ def reaction_step(spec: SimSpec, cfg: EngineConfig, state: MDState,
         rx_nbr = neighbor.build_neighbor_state(
             state.pos, state.box, state.active, state.excl, cfg.rx_rc,
             dims=cfg.rx_dims, cell_cap=cfg.rx_cell_cap,
-            max_neighbors=cfg.rx_k, excl_cap=cfg.excl_cap)
+            max_neighbors=cfg.rx_k, excl_cap=cfg.excl_cap, mesh=cfg.mesh)
         rx_overflow = rx_nbr.overflow
         ev_valid, ev_a, ev_b, ev_r, ev_dist = match_reactions(
             spec, cfg, state, seed, nbr_idx=rx_nbr.idx,

@@ -141,6 +141,13 @@ class EngineConfig:
                                     # 9/10/12/17): the b-table interpolation
                                     # (a second gather pass) is compiled only
                                     # when this is set
+    # Active device mesh (jax.sharding.Mesh, hashable) for row-sharding
+    # constraints on the rebuild's (N, S*cap) candidate planes — GSPMD loses
+    # the row partitioning across the rebuild's gather/sort boundaries
+    # without them (MULTICHIP_r02/r03: a full-size (N, 1080) f32 plane stayed
+    # replicated inside the skin cond).  Part of the static jit key, so a
+    # meshed trace can never be reused for an unmeshed call or vice versa.
+    mesh: object = None
 
 
 @_dataclass

@@ -16,6 +16,8 @@ Entry points:
   - the engine's jitted ``runner.run_block`` runs unchanged on sharded state
 """
 
-from .sharding import make_mesh, shard_state, shard_system, state_sharding
+from .sharding import (make_mesh, meshed_cfg, shard_state, shard_system,
+                       state_sharding)
 
-__all__ = ["make_mesh", "shard_state", "shard_system", "state_sharding"]
+__all__ = ["make_mesh", "meshed_cfg", "shard_state", "shard_system",
+           "state_sharding"]

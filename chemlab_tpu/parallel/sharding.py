@@ -67,8 +67,21 @@ def shard_state(mesh: Mesh, state):
 
 
 def shard_system(built, mesh: Mesh):
-    """Place a BuiltSystem on the mesh: replicated spec, sharded state."""
+    """Place a BuiltSystem on the mesh: replicated spec, sharded state.
+
+    Returns ``(spec, state)``; pair with :func:`meshed_cfg` so the engine's
+    rebuild applies its row-sharding constraints (the candidate planes
+    otherwise lose their partitioning across gather/sort boundaries).
+    """
     repl = NamedSharding(mesh, P())
     spec = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), built.spec)
     state = shard_state(mesh, built.state)
     return spec, state
+
+
+def meshed_cfg(cfg, mesh: Mesh):
+    """EngineConfig carrying the active mesh (static jit key: a meshed trace
+    is never reused for an unmeshed call)."""
+    import dataclasses
+
+    return dataclasses.replace(cfg, mesh=mesh)

@@ -342,6 +342,9 @@ def main(argv=None):
         print("Device mesh: %d x %s (row-sharded particle axis)"
               % (mesh.devices.size, jax.devices()[0].platform))
         spec, _ = par.shard_system(built, mesh)
+        # the meshed cfg switches the rebuild to its row-constrained +
+        # shard_map-top_k path (per-device scratch ~8x below single device)
+        cfg = par.meshed_cfg(cfg, mesh)
 
         def place(st):
             return par.shard_state(mesh, st)

@@ -26,16 +26,17 @@ jax.config.update("jax_platforms", "cpu")
 def analyze(n_mols: int):
     from chemlab_tpu import testsystems
     from chemlab_tpu.engine import runner
-    from chemlab_tpu.parallel import make_mesh, shard_state, shard_system
+    from chemlab_tpu.parallel import (make_mesh, meshed_cfg, shard_state,
+                                      shard_system)
 
     built, systop, _ = testsystems.build_melt(n_mols=n_mols, reactive=True)
     spec, cfg = built.spec, built.cfg
     st = runner.initial_forces(spec, cfg, built.state)
 
-    def mem(spec_x, st_x):
+    def mem(spec_x, st_x, cfg_x):
         lowered = jax.jit(
             runner.run_block, static_argnames=("cfg", "n_steps", "rng_seed")
-        ).lower(spec_x, cfg, st_x, 10)
+        ).lower(spec_x, cfg_x, st_x, 10)
         ma = lowered.compile().memory_analysis()
         return {
             "argument_mb": round(ma.argument_size_in_bytes / 2**20, 1),
@@ -43,12 +44,12 @@ def analyze(n_mols: int):
             "temp_mb": round(ma.temp_size_in_bytes / 2**20, 1),
         }
 
-    single = mem(spec, st)
+    single = mem(spec, st, cfg)
 
     mesh = make_mesh(8)
     spec_s, _ = shard_system(built, mesh)
     st_s = shard_state(mesh, st)
-    sharded = mem(spec_s, st_s)
+    sharded = mem(spec_s, st_s, meshed_cfg(cfg, mesh))
 
     shard_shapes = {
         "pos": (st_s.pos.shape,

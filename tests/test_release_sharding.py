@@ -9,7 +9,8 @@ import pytest
 
 from chemlab_tpu import reaction_parser, testsystems, topfile
 from chemlab_tpu.engine import build, runner
-from chemlab_tpu.parallel import make_mesh, shard_state, shard_system
+from chemlab_tpu.parallel import (make_mesh, meshed_cfg, shard_state,
+                                  shard_system)
 from chemlab_tpu.topology import compile_system_topology
 
 RELEASE_CFG = """
@@ -125,7 +126,7 @@ def test_sharded_run_matches_single_device():
     mesh = make_mesh(8)
     spec_s, _ = shard_system(built, mesh)
     st_s = shard_state(mesh, st)
-    out = runner.run_block(spec_s, cfg, st_s, 5)
+    out = runner.run_block(spec_s, meshed_cfg(cfg, mesh), st_s, 5)
 
     np.testing.assert_allclose(np.asarray(ref.pos), np.asarray(out.pos),
                                atol=5e-4)
@@ -145,7 +146,7 @@ def test_sharded_reaction_interval():
     mesh = make_mesh(8)
     spec_s, _ = shard_system(built, mesh)
     st_s = shard_state(mesh, st)
-    out = runner.run_block(spec_s, cfg, st_s, 4)   # crosses the boundary
+    out = runner.run_block(spec_s, meshed_cfg(cfg, mesh), st_s, 4)   # crosses the boundary
     jax.block_until_ready(out.pos)
     # the sharded reaction step must agree with the unsharded one
     ref = runner.run_block(spec, cfg, st, 4)

@@ -19,7 +19,8 @@ import pytest
 
 from chemlab_tpu import reaction_parser, testsystems, topfile
 from chemlab_tpu.engine import build, runner
-from chemlab_tpu.parallel import make_mesh, shard_state, shard_system
+from chemlab_tpu.parallel import (make_mesh, meshed_cfg, shard_state,
+                                  shard_system)
 from chemlab_tpu.topology import compile_system_topology
 
 DISS_CFG = """
@@ -109,7 +110,7 @@ def test_sharded_dissociation_three_intervals():
     mesh = make_mesh(8)
     spec_s, _ = shard_system(built, mesh)
     st_s = shard_state(mesh, st)
-    out = runner.run_block(spec_s, cfg, st_s, 35)
+    out = runner.run_block(spec_s, meshed_cfg(cfg, mesh), st_s, 35)
     jax.block_until_ready(out.pos)
 
     assert int(jnp.sum(ref.reaction_counts)) > 0, "no dissociation fired"
@@ -131,7 +132,7 @@ def test_sharded_release_crosses_interval():
     mesh = make_mesh(8)
     spec_s, _ = shard_system(built, mesh)
     st_s = shard_state(mesh, st)
-    out = runner.run_block(spec_s, cfg, st_s, 25)
+    out = runner.run_block(spec_s, meshed_cfg(cfg, mesh), st_s, 25)
     jax.block_until_ready(out.pos)
 
     assert int(jnp.sum(ref.reaction_counts)) > 0, "no reaction fired"
@@ -162,7 +163,7 @@ def test_sharded_capacity_regrowth():
     mesh = make_mesh(8)
     spec_s, _ = shard_system(built, mesh)
     st_s = shard_state(mesh, st2)
-    out = runner.run_block(spec_s, cfg2, st_s, 12)
+    out = runner.run_block(spec_s, meshed_cfg(cfg2, mesh), st_s, 12)
     jax.block_until_ready(out.pos)
 
     _assert_integer_state_equal(ref, out)
