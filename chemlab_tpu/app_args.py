@@ -87,6 +87,11 @@ def build_parser() -> ParamsArgumentParser:
                         "'none' disables the auto-pickup)")
     g.add_argument("--profile_dir", default=None,
                    help="Write a jax profiler trace of the main loop here")
+    g.add_argument("--retune_caps", default=-1, type=int,
+                   help="Step at which to shrink neighbor capacities to the "
+                        "observed occupancy (engine extra; -1 disables). Pays "
+                        "one re-jit; useful after equilibrating a packed "
+                        "start whose initial density oversized the caps")
     g.add_argument("--timers", default=True, type=_bool,
                    help="Record the per-phase timing breakdown in the "
                         "_benchmark.pck (costs a few extra compiles at end)")

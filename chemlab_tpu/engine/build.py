@@ -460,6 +460,60 @@ def grow_neighbor_caps(cfg: EngineConfig, spec: SimSpec, state, factor: float = 
     return _rebuild_neighbor_scratch(cfg, spec, state)
 
 
+def shrink_neighbor_caps(cfg: EngineConfig, spec: SimSpec, state,
+                         margin: float = 1.4):
+    """Tighten neighbor capacities to the OBSERVED equilibrated occupancy.
+
+    The build sizes ``cell_cap`` (and friends) from the initial coordinates;
+    packed/synthetic starts can be 3-5x denser locally than the equilibrated
+    fluid, and every rebuild plane is (N, 27*cell_cap) wide while the pallas
+    kernel tile is (cell_cap, 27*cell_cap) — the measured ~5x tile padding of
+    TPU_NUMBERS_r02.  After equilibration, re-derive the caps from a fresh
+    binning/row build at the current state (x ``margin``, rounded up to 8,
+    never growing); overflow + :func:`grow_neighbor_caps` remains the
+    backstop for later densification.  The espressopp analog is tuneSkin's
+    post-equilibration retuning (ref: start_simulation.py:716-721) applied
+    to capacities instead of the skin.  Returns (cfg, state) — a changed cfg
+    forces one re-jit.
+    """
+    import jax.numpy as jnp
+
+    rc_skin = float(jnp.sqrt(jnp.max(spec.pair_cutoff2)) + spec.skin)
+    buckets, _, _ = neighbor.build_cell_buckets(
+        state.pos, state.box, state.active, cfg.cell_dims, cfg.cell_cap)
+    occ = int(jnp.max(jnp.sum((buckets[:-1] >= 0).astype(jnp.int32), axis=1)))
+    nbr = neighbor.build_neighbor_state(
+        state.pos, state.box, state.active, state.excl, rc_skin,
+        dims=cfg.cell_dims, cell_cap=cfg.cell_cap,
+        max_neighbors=cfg.max_neighbors, excl_cap=cfg.excl_cap)
+    self_idx = jnp.arange(state.pos.shape[0], dtype=jnp.int32)[:, None]
+    kmax = int(jnp.max(jnp.sum((nbr.idx != self_idx).astype(jnp.int32),
+                               axis=1)))
+
+    caps = {}
+    new_cell = _round_up(max(int(occ * margin) + 2, 8), 8)
+    if new_cell < cfg.cell_cap and not bool(nbr.overflow):
+        caps["cell_cap"] = new_cell
+    # K saturated at the current cap means the true count is unknown — skip
+    if kmax < cfg.max_neighbors:
+        new_k = _round_up(max(int(kmax * margin) + 4, 16), 8)
+        if new_k < cfg.max_neighbors:
+            caps["max_neighbors"] = new_k
+    if "cell_cap" in caps and cfg.rx_rc > 0:
+        # rx grid caps scale with the force-grid occupancy (same fluid)
+        rx_vol = float(np.prod(np.asarray(state.box) /
+                               np.asarray(cfg.rx_dims)))
+        vol = float(np.prod(np.asarray(state.box) /
+                            np.asarray(cfg.cell_dims)))
+        new_rx = _round_up(max(int(caps["cell_cap"] * rx_vol / vol) + 4, 8), 8)
+        if new_rx < cfg.rx_cell_cap:
+            caps["rx_cell_cap"] = new_rx
+    if not caps:
+        return cfg, state
+    cfg = dataclasses.replace(cfg, **caps)
+    return _rebuild_neighbor_scratch(cfg, spec, state)
+
+
 def _rebuild_neighbor_scratch(cfg: EngineConfig, spec: SimSpec, state):
     import jax.numpy as jnp
 

@@ -503,6 +503,7 @@ def main(argv=None):
 
     reactions_enabled = False
     reactions_started = False   # one-shot latch: start_ar fires exactly once
+    caps_retuned = args.retune_caps < 0   # one-shot --retune_caps latch
     conversion_reached = False
     eq_blocks_left = None
     need_bond_counts = any(c.kind == "bond_count" for c in criteria)
@@ -577,6 +578,16 @@ def main(argv=None):
             files_io.write_gro("%s_traj.gro" % out_prefix,
                                writers.state_to_coordinates(state, systop, coords),
                                backup=False, append=global_step > 0)
+
+        if not caps_retuned and global_step >= args.retune_caps:
+            caps_retuned = True
+            old = (cfg.max_neighbors, cfg.cell_cap)
+            cfg, state = build.shrink_neighbor_caps(cfg, spec, state)
+            if (cfg.max_neighbors, cfg.cell_cap) != old:
+                state = place(state)
+                print("caps retuned at step %d: K %d->%d cell %d->%d"
+                      % (global_step, old[0], cfg.max_neighbors,
+                         old[1], cfg.cell_cap))
 
         # enable reactions at start_ar, exactly once (ref: :735-757)
         if (cfg.has_reactions and not reactions_started
