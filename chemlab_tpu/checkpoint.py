@@ -29,6 +29,9 @@ def save_state(path: str, state, cfg=None) -> None:
     if cfg is not None:
         arrays["__caps__"] = np.asarray(
             [getattr(cfg, f) for f in build.NEIGHBOR_CAP_FIELDS], np.int64)
+        arrays["__term_caps__"] = np.asarray(
+            [getattr(cfg, f) for f in build.TERM_CAP_FIELDS]
+            + [state.excl.shape[0]], np.int64)
     np.savez_compressed(path, **arrays)
 
 
@@ -51,6 +54,16 @@ def load_state(path: str, template, cfg=None, spec=None):
         if any(getattr(cfg, f) != v for f, v in caps.items()):
             cfg, template = build.apply_neighbor_caps(cfg, spec, template,
                                                       caps)
+    if want_cfg and "__term_caps__" in data:
+        from .engine import build
+
+        tvals = data["__term_caps__"]
+        tcaps = {f: int(v) for f, v in zip(build.TERM_CAP_FIELDS, tvals)}
+        excl_pair_cap = int(tvals[len(build.TERM_CAP_FIELDS)])
+        if (any(getattr(cfg, f) != v for f, v in tcaps.items())
+                or excl_pair_cap != template.excl.shape[0]):
+            cfg, template = build.apply_term_caps(cfg, template, tcaps,
+                                                  excl_pair_cap)
     leaves, treedef = jax.tree_util.tree_flatten(template)
     n = int(data["__n__"])
     if n != len(leaves):

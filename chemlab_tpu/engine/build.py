@@ -527,6 +527,92 @@ def _rebuild_neighbor_scratch(cfg: EngineConfig, spec: SimSpec, state):
     return cfg, dataclasses.replace(state, nbr=nbr)
 
 
+TERM_CAP_FIELDS = ("bond_cap", "angle_cap", "dihedral_cap")
+
+
+def _repad_term_table(table, new_cap: int):
+    """Grow a TermTable to ``new_cap`` rows, preserving contents and cursor."""
+    import jax.numpy as jnp
+
+    cap = table.idx.shape[0]
+    if new_cap == cap:
+        return table
+    if new_cap < cap:
+        # shrink (checkpoint-restore template re-pad): only padding may be cut
+        if bool((table.idx[new_cap:, 0] >= 0).any()):
+            raise ValueError("term table shrink %d -> %d would drop valid rows"
+                             % (cap, new_cap))
+        return jax.tree_util.tree_map(
+            lambda a: a if a.ndim == 0 else a[:new_cap], table)
+    pad = new_cap - cap
+    return dataclasses.replace(
+        table,
+        idx=jnp.concatenate([table.idx, jnp.full((pad, table.idx.shape[1]), -1,
+                                                 jnp.int32)]),
+        func=jnp.concatenate([table.func, jnp.zeros(pad, jnp.int32)]),
+        params=jnp.concatenate([table.params,
+                                jnp.zeros((pad, table.params.shape[1]),
+                                          jnp.float32)]),
+        typelookup=jnp.concatenate([table.typelookup,
+                                    jnp.zeros(pad, bool)]),
+        lam=jnp.concatenate([table.lam, jnp.ones(pad, jnp.float32)]),
+        group=jnp.concatenate([table.group, jnp.full(pad, -1, jnp.int32)]),
+    )
+
+
+def apply_term_caps(cfg: EngineConfig, state, caps: dict,
+                    excl_pair_cap: int | None = None):
+    """Re-pad the dynamic term tables (and optionally the exclusion pair
+    list) to explicit capacities, clearing the sticky overflow flag.
+    Used by overflow regrowth and by checkpoint restore into a fresh build
+    whose derived caps are smaller.  Returns (cfg, state)."""
+    import jax.numpy as jnp
+
+    cfg = dataclasses.replace(cfg, **caps)
+    state = dataclasses.replace(
+        state,
+        bonds=_repad_term_table(state.bonds, cfg.bond_cap),
+        angles=_repad_term_table(state.angles, cfg.angle_cap),
+        dihedrals=_repad_term_table(state.dihedrals, cfg.dihedral_cap),
+    )
+    if excl_pair_cap is not None and excl_pair_cap != state.excl.shape[0]:
+        if excl_pair_cap < state.excl.shape[0]:
+            if bool((state.excl[excl_pair_cap:, 0] >= 0).any()):
+                raise ValueError("exclusion list shrink would drop pairs")
+            state = dataclasses.replace(state,
+                                        excl=state.excl[:excl_pair_cap])
+        else:
+            pad = excl_pair_cap - state.excl.shape[0]
+            state = dataclasses.replace(
+                state, excl=jnp.concatenate(
+                    [state.excl, jnp.full((pad, 2), -1, jnp.int32)]))
+    return cfg, dataclasses.replace(
+        state, nbr=dataclasses.replace(state.nbr,
+                                       overflow=jnp.asarray(False)))
+
+
+def term_caps_near_full(cfg: EngineConfig, counts: dict,
+                        margin: float = 0.9) -> bool:
+    """True when any dynamic term table (or the exclusion pair list) is at
+    ``margin`` of capacity — the driver grows proactively so reaction events
+    are never dropped at the cap (the reference's lists reallocate freely)."""
+    return (counts.get("n_bonds", 0) >= margin * cfg.bond_cap
+            or counts.get("n_angles", 0) >= margin * cfg.angle_cap
+            or counts.get("n_dihedrals", 0) >= margin * cfg.dihedral_cap
+            or counts.get("n_excl", 0) >= margin * counts.get(
+                "excl_pair_cap", float("inf")))
+
+
+def grow_term_caps(cfg: EngineConfig, state, factor: float = 1.5):
+    """Adaptive regrowth of the bonded term tables + exclusion pair list
+    (the TopologyManager-side analog of :func:`grow_neighbor_caps`).
+    Returns (cfg, state); the changed cfg forces one re-jit."""
+    caps = {f: _round_up(int(max(getattr(cfg, f), 128) * factor), 128)
+            for f in TERM_CAP_FIELDS}
+    excl_new = _round_up(int(max(state.excl.shape[0], 128) * factor), 128)
+    return apply_term_caps(cfg, state, caps, excl_new)
+
+
 @dataclasses.dataclass
 class BuiltSystem:
     cfg: EngineConfig
@@ -739,7 +825,12 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
     # ---- capacities ----
     n_pad = _round_up(max(n, 128), 128)
     has_reactions = compiled is not None and compiled.n_reactions > 0
-    extra_b = opts.extra_bonds if opts.extra_bonds is not None else (n if has_reactions else 0)
+    # Reactive headroom: every padded term row costs gathers + AD scatters in
+    # the per-step bonded pass (433k angle rows for 33k real angles measured
+    # 0.086 s/step at 100k), so start at a modest n/8 slice and rely on the
+    # driver's proactive grow_term_caps regrowth as conversion proceeds.
+    extra_default = _round_up(max(n // 8, 1024), 128) if has_reactions else 0
+    extra_b = opts.extra_bonds if opts.extra_bonds is not None else extra_default
     extra_a = opts.extra_angles if opts.extra_angles is not None else 4 * extra_b
     extra_d = opts.extra_dihedrals if opts.extra_dihedrals is not None else (
         6 * extra_b if systop.dihedralparams else 0)

@@ -106,6 +106,9 @@ def measure_cheap(spec: SimSpec, cfg: EngineConfig, state: MDState):
         "overflow": state.nbr.overflow,
         "reaction_counts": state.reaction_counts,
         "n_bonds": jnp.sum(state.bonds.valid.astype(jnp.int32)),
+        "n_angles": jnp.sum(state.angles.valid.astype(jnp.int32)),
+        "n_dihedrals": jnp.sum(state.dihedrals.valid.astype(jnp.int32)),
+        "n_excl": state.n_excl,
     }
     if cfg.n_groups:
         out["group_bonds"] = observables.group_bond_counts(state.bonds,

@@ -562,7 +562,23 @@ def main(argv=None):
                      if not args.system_monitor_filter
                      or kk in args.system_monitor_filter.split(",")}
             print(" ".join("%s=%.4g" % kv for kv in shown.items()))
-        if bool(m["overflow"]):
+        # Capacity management: term tables (bonds/angles/dihedrals/exclusions)
+        # grow PROACTIVELY near their cap so no reaction event is ever dropped
+        # (the reference's FixedLists reallocate freely); the neighbor caps
+        # grow reactively off the sticky overflow flag.  When both fire at
+        # once, term growth clears the flag and a genuine neighbor overflow
+        # re-fires on the next block.
+        counts = {kk: int(m[kk]) for kk in
+                  ("n_bonds", "n_angles", "n_dihedrals", "n_excl") if kk in m}
+        counts["excl_pair_cap"] = state.excl.shape[0]
+        if cfg.has_reactions and build.term_caps_near_full(cfg, counts):
+            cfg, state = build.grow_term_caps(cfg, state)
+            state = place(state)
+            print("capacity: term tables regrown to bonds=%d angles=%d "
+                  "dihedrals=%d excl=%d" % (cfg.bond_cap, cfg.angle_cap,
+                                            cfg.dihedral_cap,
+                                            state.excl.shape[0]))
+        elif bool(m["overflow"]):
             cfg, state = build.grow_neighbor_caps(cfg, spec, state)
             state = place(state)
             print("capacity overflow: neighbor caps regrown to K=%d cell=%d"

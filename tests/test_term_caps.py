@@ -1,0 +1,89 @@
+"""Term-table capacity regrowth (grow_term_caps / apply_term_caps).
+
+The reference's FixedPair/Triple/QuadrupleLists reallocate freely as
+reactions add bonds; with static shapes the engine instead pads the term
+tables and the driver grows them proactively near the cap (so no event is
+ever dropped) at the cost of one re-jit.  Growth must be physics-inert:
+padding rows carry func 0 / idx -1 and contribute nothing.
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from chemlab_tpu import checkpoint, testsystems
+from chemlab_tpu.engine import build, runner
+
+
+def _reactive_state():
+    built, systop, _ = testsystems.build_melt(n_mols=86, reactive=True,
+                                              max_events=16)
+    spec, cfg = built.spec, built.cfg
+    st = runner.initial_forces(spec, cfg, built.state)
+    st = testsystems.warmup(built, st, steps=100)
+    st = testsystems.activate_initiators(built, systop, st, n=4)
+    return built, spec, cfg, st
+
+
+def test_grow_term_caps_is_physics_inert():
+    built, spec, cfg, st = _reactive_state()
+    cfg_big, st_big = build.grow_term_caps(cfg, st)
+    assert cfg_big.bond_cap > cfg.bond_cap
+    assert cfg_big.angle_cap > cfg.angle_cap
+    assert st_big.excl.shape[0] > st.excl.shape[0]
+    assert int(st_big.bonds.count) == int(st.bonds.count)
+
+    # identical trajectory + topology events across a reaction interval
+    a = runner.run_block(spec, cfg, st, 250)
+    b = runner.run_block(spec, cfg_big, st_big, 250)
+    assert np.array_equal(np.asarray(a.pos), np.asarray(b.pos))
+    nb = cfg.bond_cap
+    assert np.array_equal(np.asarray(a.bonds.idx),
+                          np.asarray(b.bonds.idx[:nb]))
+    assert np.asarray(b.bonds.idx[nb:, 0] < 0).all()
+    na = cfg.angle_cap
+    assert np.array_equal(np.asarray(a.angles.idx),
+                          np.asarray(b.angles.idx[:na]))
+    ne = st.excl.shape[0]
+    assert np.array_equal(np.asarray(a.excl), np.asarray(b.excl[:ne]))
+    assert int(a.n_excl) == int(b.n_excl)
+
+
+def test_term_caps_near_full_trigger():
+    built, spec, cfg, st = _reactive_state()
+    counts = {"n_bonds": int(jnp.sum(st.bonds.valid)),
+              "n_angles": int(jnp.sum(st.angles.valid)),
+              "n_dihedrals": int(jnp.sum(st.dihedrals.valid)),
+              "n_excl": int(st.n_excl),
+              "excl_pair_cap": st.excl.shape[0]}
+    assert not build.term_caps_near_full(cfg, counts)
+    tight = dataclasses.replace(cfg, angle_cap=counts["n_angles"] + 1)
+    assert build.term_caps_near_full(tight, counts)
+    assert build.term_caps_near_full(cfg, dict(counts, n_excl=int(
+        0.95 * st.excl.shape[0])))
+
+
+def test_checkpoint_restores_after_term_regrowth(tmp_path):
+    """A checkpoint written AFTER grow_term_caps restores into a freshly
+    built system (smaller derived term caps) and continues bit-exactly."""
+    built, spec, cfg, st = _reactive_state()
+    st = runner.run_block(spec, cfg, st, 30)
+    cfg_big, st_big = build.grow_term_caps(cfg, st)
+
+    path = str(tmp_path / "state_term.npz")
+    checkpoint.save_state(path, st_big, cfg=cfg_big)
+
+    built2, _, _ = testsystems.build_melt(n_mols=86, reactive=True,
+                                          max_events=16)
+    st2, cfg2 = checkpoint.load_state(path, built2.state, cfg=built2.cfg,
+                                      spec=built2.spec)
+    assert cfg2.bond_cap == cfg_big.bond_cap
+    assert cfg2.angle_cap == cfg_big.angle_cap
+    assert st2.excl.shape[0] == st_big.excl.shape[0]
+
+    a = runner.run_block(spec, cfg_big, st_big, 200)
+    b = runner.run_block(built2.spec, cfg2, st2, 200)
+    assert np.array_equal(np.asarray(a.pos), np.asarray(b.pos))
+    assert np.array_equal(np.asarray(a.bonds.idx), np.asarray(b.bonds.idx))
+    assert np.array_equal(np.asarray(a.key), np.asarray(b.key))
