@@ -560,6 +560,195 @@ def cell_pair_forces_packets(pos, type_id, active, box, buckets, dims, spec,
     return force, jnp.sum(e), zero, jnp.sum(w)
 
 
+def _column_kernel(*refs, cap: int, n_types_pad: int, nz: int,
+                   dzs, col_idx, self_col: int, n_cols_u: int,
+                   uniform_lj: bool = False):
+    """Column-grid kernel: grid (nx*ny, nz); operands are whole z-COLUMNS
+    of the cell-dense array, (1, nz*cap, 8) blocks whose index map depends
+    only on the major grid dim — Pallas re-uses a resident block when its
+    index is unchanged between consecutive grid steps, so the 9 xy-neighbor
+    columns are DMA'd once per column instead of 27 cell operands per cell
+    program (the per-cell kernel measured DMA-latency-bound, ~11 us/program
+    with compute nearly free; this cuts the transfer count ~nz x 3).
+
+    The per-pair math and candidate order are IDENTICAL to _kernel (f32
+    op-sequence contract with excluded_pair_correction): program (c, z)
+    slices its (cap, 8) rows and the S stencil slices out of the resident
+    columns with dynamic sublane offsets and computes the same
+    (cap, S*cap) tile.
+
+    refs: n_cols_u x column (1, nz*cap, 8) [x,y,z,valid,type,0,0,0],
+          box (1, 8), sig, eps, cut2, shift, islj,
+          force_out (1, 4, cap), energy_out (1, 2, cap).
+    """
+    col_refs = refs[:n_cols_u]
+    box_ref = refs[n_cols_u]
+    sig_ref, eps_ref, cut2_ref, shift_ref, islj_ref = \
+        refs[n_cols_u + 1:n_cols_u + 6]
+    force_ref = refs[n_cols_u + 6]
+    energy_ref = refs[n_cols_u + 7]
+
+    z = pl.program_id(1)
+    xi = col_refs[self_col][0, pl.ds(z * cap, cap), :]        # (cap, 8)
+    slices = []
+    for k in range(len(dzs)):
+        zz = jax.lax.rem(z + (dzs[k] + nz), nz)
+        slices.append(col_refs[col_idx[k]][0, pl.ds(zz * cap, cap), :])
+    xj = jnp.concatenate(slices, axis=0)                      # (S*cap, 8)
+    box = box_ref[0]
+
+    dr = []
+    r2 = jnp.zeros((cap, xj.shape[0]), jnp.float32)
+    for ax in range(3):
+        d = xi[:, ax][:, None] - xj[:, ax][None, :]
+        d = d - box[ax] * jnp.round(d / box[ax])
+        dr.append(d)
+        r2 = r2 + d * d
+
+    valid = (xi[:, 3][:, None] > 0.5) & (xj[:, 3][None, :] > 0.5)
+    valid &= r2 > 1e-12                   # self-pair suppression
+    r2s = jnp.where(valid, r2, 1.0)
+
+    if uniform_lj:
+        sig = sig_ref[0, 0]
+        eps = eps_ref[0, 0]
+        cut2 = cut2_ref[0, 0]
+        shift = shift_ref[0, 0]
+        in_cut = valid & (r2s < cut2)
+    else:
+        iota_i = jax.lax.broadcasted_iota(jnp.float32, (cap, n_types_pad), 1)
+        ti_oh = (xi[:, 4][:, None] == iota_i).astype(jnp.float32)
+        iota_j = jax.lax.broadcasted_iota(jnp.float32,
+                                          (xj.shape[0], n_types_pad), 1)
+        tj_oh = (xj[:, 4][:, None] == iota_j).astype(jnp.float32)
+
+        def lut(m_ref):
+            return jnp.dot(ti_oh, jnp.dot(m_ref[...], tj_oh.T,
+                                          preferred_element_type=jnp.float32),
+                           preferred_element_type=jnp.float32)
+
+        sig = lut(sig_ref)
+        eps = lut(eps_ref)
+        cut2 = lut(cut2_ref)
+        shift = lut(shift_ref)
+        in_cut = valid & (r2s < cut2) & (lut(islj_ref) > 0.5)
+
+    # identical op sequence to _kernel/excluded_pair_correction
+    # (0.75-sigma soft core; see the f32-cancellation note there)
+    r2c = jnp.maximum(r2s, 0.5625 * (sig * sig))
+    s2 = (sig * sig) / r2c
+    s6 = s2 * s2 * s2
+    e_lj = jnp.where(in_cut, 4.0 * eps * (s6 * s6 - s6) - shift, 0.0)
+    f_lj = jnp.where(in_cut, 48.0 * eps * (s6 * s6 - 0.5 * s6) / r2c, 0.0)
+
+    fxyz = [jnp.sum(f_lj * d, axis=1) for d in dr]
+    force_ref[0] = jnp.stack(
+        [fxyz[0], fxyz[1], fxyz[2], jnp.zeros_like(fxyz[0])], axis=0)
+    energy_ref[0, 0] = 0.5 * jnp.sum(e_lj, axis=1)
+    energy_ref[0, 1] = 0.5 * jnp.sum(f_lj * r2s, axis=1)
+
+
+def cell_pair_forces_columns(pos, type_id, active, box, buckets, dims, spec,
+                             n_types: int, cap: int, interpret: bool = False,
+                             uniform_lj: bool = False):
+    """Column-grid LJ forces (see _column_kernel).  Same contract as
+    cell_pair_forces: the UNexcluded all-pairs sum."""
+    from jax.experimental import pallas as pl_mod
+    from jax.experimental.pallas import tpu as pltpu
+
+    global pl
+    pl = pl_mod
+
+    nx, ny, nz = (int(d) for d in dims)
+    n_cells = nx * ny * nz
+    n = pos.shape[0]
+    rows = jnp.maximum(buckets[:n_cells], 0)                # (C, cap)
+    slot_valid = (buckets[:n_cells] >= 0) & active[rows]
+    cpos8 = jnp.concatenate(
+        [pos[rows],
+         slot_valid[..., None].astype(pos.dtype),
+         jnp.where(slot_valid, type_id[rows], 0).astype(pos.dtype)[..., None],
+         jnp.zeros(rows.shape + (3,), pos.dtype)], axis=-1)  # (C, cap, 8)
+    # z is the minor cell index, so a column is contiguous
+    cols8 = cpos8.reshape(nx * ny, nz * cap, 8)
+    box8 = jnp.concatenate([box, jnp.ones(5, box.dtype)])[None, :]
+
+    tpad = max(8, -(-n_types // 8) * 8)
+    is_lj = (spec.pair_kind == PAIR_LJ).astype(jnp.float32)
+    params = [
+        _pad_tt(spec.pair_sig, n_types, tpad),
+        _pad_tt(spec.pair_eps, n_types, tpad),
+        _pad_tt(spec.pair_cutoff2, n_types, tpad),
+        _pad_tt(spec.pair_shift, n_types, tpad),
+        _pad_tt(is_lj, n_types, tpad),
+    ]
+
+    from .neighbor import neighbor_cell_offsets
+
+    offsets = [tuple(int(x) for x in o) for o in neighbor_cell_offsets(dims)]
+    # group the S stencil offsets by xy column (candidate ORDER preserved —
+    # the lane-sum order must match _kernel for bit-identical results)
+    xy_list = []
+    for dx, dy, _dz in offsets:
+        if (dx, dy) not in xy_list:
+            xy_list.append((dx, dy))
+    col_idx = tuple(xy_list.index((dx, dy)) for dx, dy, _dz in offsets)
+    dzs = tuple(dz for _dx, _dy, dz in offsets)
+    self_col = xy_list.index((0, 0))
+    n_cols_u = len(xy_list)
+
+    bs = pl_mod.BlockSpec
+
+    def colmap_k(dx, dy):
+        def m(c, z):
+            cx = c // ny
+            cy = c % ny
+            return ((cx + dx) % nx * ny + (cy + dy) % ny, 0, 0)
+
+        return m
+
+    def cellmap(c, z):
+        return (c * nz + z, 0, 0)
+
+    def rep2(c, z):
+        return (0, 0)
+
+    in_specs = (
+        [bs((1, nz * cap, 8), colmap_k(dx, dy)) for dx, dy in xy_list]
+        + [bs((1, 8), rep2)]
+        + [bs((tpad, tpad), rep2)] * 5
+    )
+
+    call = pl_mod.pallas_call(
+        functools.partial(_column_kernel, cap=cap, n_types_pad=tpad,
+                          nz=nz, dzs=dzs, col_idx=col_idx,
+                          self_col=self_col, n_cols_u=n_cols_u,
+                          uniform_lj=uniform_lj),
+        grid=(nx * ny, nz),
+        in_specs=in_specs,
+        out_specs=(
+            bs((1, 4, cap), cellmap),
+            bs((1, 2, cap), cellmap),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_cells, 4, cap), jnp.float32),
+            jax.ShapeDtypeStruct((n_cells, 2, cap), jnp.float32),
+        ),
+        interpret=interpret,
+    )
+    force_c, energy_c = call(*([cols8] * n_cols_u), box8, *params)
+
+    force = jnp.zeros((n, 3), pos.dtype)
+    flat_rows = jnp.where(slot_valid, rows, n).reshape(-1)
+    force = force.at[flat_rows].add(
+        force_c[:, :3, :].transpose(0, 2, 1).reshape(-1, 3), mode="drop")
+    sv = slot_valid.reshape(-1)
+    e = jnp.where(sv, energy_c[:, 0].reshape(-1), 0.0)
+    w = jnp.where(sv, energy_c[:, 1].reshape(-1), 0.0)
+    zero = jnp.asarray(0.0, pos.dtype)
+    return force, jnp.sum(e), zero, jnp.sum(w)
+
+
 def _pad_tt(a, n_types: int, pad: int):
     """(T*T,) flat type-pair column -> (Tp, Tp) padded square matrix.
 
@@ -603,6 +792,11 @@ def cell_pair_forces(pos, type_id, active, box, buckets, dims, spec,
                                          dims, spec, n_types, cap,
                                          interpret=interpret,
                                          uniform_lj=uniform_lj)
+    if choice == "column":
+        return cell_pair_forces_columns(pos, type_id, active, box, buckets,
+                                        dims, spec, n_types, cap,
+                                        interpret=interpret,
+                                        uniform_lj=uniform_lj)
     if choice == "packet" and cap % 8 == 0:
         return cell_pair_forces_packets(pos, type_id, active, box, buckets,
                                         dims, spec, n_types, cap,

@@ -75,6 +75,29 @@ def test_packet_kernel_matches_cell_kernel(melt):
     assert np.array_equal(np.asarray(f_u), np.asarray(f_old))
 
 
+def test_column_kernel_matches_cell_kernel(melt):
+    """The column-grid kernel (grid (xy-column, z), resident z-column
+    operands instead of 27 streamed cell operands per program) is
+    bit-identical to the per-cell kernel: same tile math and candidate
+    order, only the DMA schedule differs."""
+    built, st = melt
+    spec, cfg = built.spec, built.cfg
+    args = (st.pos, st.type_id, st.active, st.box, st.nbr.buckets,
+            cfg.cell_dims, spec, cfg.n_types, cfg.cell_cap)
+    f_old, e_old, _, w_old = pallas_pair.cell_pair_forces(*args,
+                                                          interpret=True,
+                                                          packets=False)
+    f_new, e_new, _, w_new = pallas_pair.cell_pair_forces_columns(
+        *args, interpret=True)
+    assert float(e_old) == float(e_new)
+    assert float(w_old) == float(w_new)
+    assert np.array_equal(np.asarray(f_old), np.asarray(f_new))
+    f_u, e_u, _, w_u = pallas_pair.cell_pair_forces_columns(
+        *args, interpret=True, uniform_lj=True)
+    assert float(e_u) == float(e_old)
+    assert np.array_equal(np.asarray(f_u), np.asarray(f_old))
+
+
 def test_pallas_virial_matches_strain_derivative(melt):
     """The kernel's pair-virial channel (minus exclusions) + bonded strain
     derivative reproduces the row path's full strain-derivative pressure —
