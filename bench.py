@@ -100,9 +100,16 @@ def _bench_melt(n_mols, want_pallas, n_blocks, block_steps):
     state = runner.run_block(spec, cfg, state, block_steps)
     jax.block_until_ready(state.pos)
     for _ in range(3):
-        if not bool(state.nbr.overflow):
+        m = runner.measure_cheap(spec, cfg, state)
+        counts = {k: int(m[k]) for k in ("n_bonds", "n_angles",
+                                         "n_dihedrals", "n_excl")}
+        counts["excl_pair_cap"] = state.excl.shape[0]
+        if build_mod.term_caps_near_full(cfg, counts):
+            cfg, state = build_mod.grow_term_caps(cfg, state, counts=counts)
+        elif bool(m["overflow"]):
+            cfg, state = build_mod.grow_neighbor_caps(cfg, spec, state)
+        else:
             break
-        cfg, state = build_mod.grow_neighbor_caps(cfg, spec, state)
         state = runner.run_block(spec, cfg, state, block_steps)
         jax.block_until_ready(state.pos)
 

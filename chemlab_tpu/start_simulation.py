@@ -572,7 +572,7 @@ def main(argv=None):
                   ("n_bonds", "n_angles", "n_dihedrals", "n_excl") if kk in m}
         counts["excl_pair_cap"] = state.excl.shape[0]
         if cfg.has_reactions and build.term_caps_near_full(cfg, counts):
-            cfg, state = build.grow_term_caps(cfg, state)
+            cfg, state = build.grow_term_caps(cfg, state, counts=counts)
             state = place(state)
             print("capacity: term tables regrown to bonds=%d angles=%d "
                   "dihedrals=%d excl=%d" % (cfg.bond_cap, cfg.angle_cap,

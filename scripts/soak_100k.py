@@ -53,7 +53,16 @@ def main():
     while done < a.steps:
         st = runner.run_block(spec, cfg, st, a.block)
         done += a.block
-        if bool(st.nbr.overflow):
+        mc = runner.measure_cheap(spec, cfg, st)
+        counts = {k: int(mc[k]) for k in ("n_bonds", "n_angles",
+                                          "n_dihedrals", "n_excl")}
+        counts["excl_pair_cap"] = st.excl.shape[0]
+        if build_mod.term_caps_near_full(cfg, counts):
+            cfg, st = build_mod.grow_term_caps(cfg, st, counts=counts)
+            regrowths += 1
+            print(json.dumps({"step": done, "regrow_terms": cfg.bond_cap,
+                              "angle_cap": cfg.angle_cap}), flush=True)
+        elif bool(mc["overflow"]):
             cfg, st = build_mod.grow_neighbor_caps(cfg, spec, st)
             regrowths += 1
             print(json.dumps({"step": done, "regrow_to_K": cfg.max_neighbors,
