@@ -648,11 +648,116 @@ def _column_kernel(*refs, cap: int, n_types_pad: int, nz: int,
     energy_ref[0, 1] = 0.5 * jnp.sum(f_lj * r2s, axis=1)
 
 
+def _colz_kernel(*refs, cap: int, n_types_pad: int, nz: int,
+                 dzs, col_idx, self_col: int, n_cols_u: int,
+                 n_packets: int, uniform_lj: bool = False):
+    """Z-unrolled, row-packeted column kernel: grid (nx*ny,) — ONE program
+    per xy-column computes all nz cells against resident column operands
+    with STATIC slices, and row work is gated per 8-row packet on the cell
+    fill (``pl.when``), so compute tracks ceil(occ/8)*8 rows instead of cap.
+
+    Why: the per-(cell) grid pays a ~3-4 us scalar-core dispatch per grid
+    step (measured: cell and column kernels tie at 10k with 1331 grid steps
+    each despite ~30x fewer DMAs in the latter, and the packet kernel's
+    5x-fewer-rows LOSES because its grid has 5x more steps).  Folding z and
+    the packet loop into the program divides the step count by nz*packets
+    while keeping the occupancy gating.  Same f32 op order as _kernel —
+    bit-exact.
+
+    refs: counts (SMEM (1, 1, nz)), n_cols_u x column (1, nz*cap, 8), box,
+          sig, eps, cut2, shift, islj, out (nz, cap, 8) with channels
+          [fx, fy, fz, e_lj/2, w/2, 0, 0, 0] per particle slot.
+    """
+    counts_ref = refs[0]
+    col_refs = refs[1:1 + n_cols_u]
+    box_ref = refs[1 + n_cols_u]
+    sig_ref, eps_ref, cut2_ref, shift_ref, islj_ref = \
+        refs[2 + n_cols_u:7 + n_cols_u]
+    out_ref = refs[7 + n_cols_u]              # (1, nz*cap, 8) — the same
+                                              # leading-1 block pattern as the
+                                              # column operands (Mosaic rejects
+                                              # other sub-128-lane blockings)
+
+    out_ref[...] = jnp.zeros_like(out_ref)
+    box = box_ref[0]
+
+    for z in range(nz):
+        slices = []
+        for k in range(len(dzs)):
+            zz = (z + dzs[k]) % nz
+            slices.append(col_refs[col_idx[k]][0, zz * cap:(zz + 1) * cap, :])
+        xj = jnp.concatenate(slices, axis=0)                   # (L, 8)
+        L = xj.shape[0]
+        if not uniform_lj:
+            iota_t = jax.lax.broadcasted_iota(
+                I32, (n_types_pad, L), 0).astype(jnp.float32)
+            tj_oh_t = (xj[:, 4][None, :] == iota_t).astype(jnp.float32)
+
+        for p in range(n_packets):
+            @pl.when(p * 8 < counts_ref[0, 0, z])
+            def _compute(z=z, p=p, xj=xj,
+                         tj_oh_t=None if uniform_lj else tj_oh_t):
+                xi = col_refs[self_col][
+                    0, z * cap + p * 8:z * cap + p * 8 + 8, :]   # (8, 8)
+
+                dr = []
+                r2 = jnp.zeros((8, L), jnp.float32)
+                for ax in range(3):
+                    d = xi[:, ax][:, None] - xj[:, ax][None, :]
+                    d = d - box[ax] * jnp.round(d / box[ax])
+                    dr.append(d)
+                    r2 = r2 + d * d
+
+                valid = (xi[:, 3][:, None] > 0.5) & (xj[:, 3][None, :] > 0.5)
+                valid &= r2 > 1e-12
+                r2s = jnp.where(valid, r2, 1.0)
+
+                if uniform_lj:
+                    sig = sig_ref[0, 0]
+                    eps = eps_ref[0, 0]
+                    cut2 = cut2_ref[0, 0]
+                    shift = shift_ref[0, 0]
+                    in_cut = valid & (r2s < cut2)
+                else:
+                    iota_i = jax.lax.broadcasted_iota(
+                        I32, (8, n_types_pad), 1).astype(jnp.float32)
+                    ti_oh = (xi[:, 4][:, None] == iota_i).astype(jnp.float32)
+
+                    def lut(m_ref):
+                        return jnp.dot(
+                            ti_oh,
+                            jnp.dot(m_ref[...], tj_oh_t,
+                                    preferred_element_type=jnp.float32),
+                            preferred_element_type=jnp.float32)
+
+                    sig = lut(sig_ref)
+                    eps = lut(eps_ref)
+                    cut2 = lut(cut2_ref)
+                    shift = lut(shift_ref)
+                    in_cut = valid & (r2s < cut2) & (lut(islj_ref) > 0.5)
+
+                # identical op sequence to _kernel/excluded_pair_correction
+                r2c = jnp.maximum(r2s, 0.5625 * (sig * sig))
+                s2 = (sig * sig) / r2c
+                s6 = s2 * s2 * s2
+                e_lj = jnp.where(in_cut,
+                                 4.0 * eps * (s6 * s6 - s6) - shift, 0.0)
+                f_lj = jnp.where(in_cut,
+                                 48.0 * eps * (s6 * s6 - 0.5 * s6) / r2c, 0.0)
+
+                cols = [jnp.sum(f_lj * d, axis=1) for d in dr]
+                cols.append(0.5 * jnp.sum(e_lj, axis=1))
+                cols.append(0.5 * jnp.sum(f_lj * r2s, axis=1))   # pair virial
+                out8 = jnp.stack(cols + [jnp.zeros_like(cols[0])] * 3,
+                                 axis=1)                         # (8, 8)
+                out_ref[0, z * cap + p * 8:z * cap + (p + 1) * 8, :] = out8
+
+
 def cell_pair_forces_columns(pos, type_id, active, box, buckets, dims, spec,
                              n_types: int, cap: int, interpret: bool = False,
-                             uniform_lj: bool = False):
-    """Column-grid LJ forces (see _column_kernel).  Same contract as
-    cell_pair_forces: the UNexcluded all-pairs sum."""
+                             uniform_lj: bool = False, z_unroll: bool = True):
+    """Column-grid LJ forces (see _column_kernel / _colz_kernel).  Same
+    contract as cell_pair_forces: the UNexcluded all-pairs sum."""
     from jax.experimental import pallas as pl_mod
     from jax.experimental.pallas import tpu as pltpu
 
@@ -713,30 +818,72 @@ def cell_pair_forces_columns(pos, type_id, active, box, buckets, dims, spec,
     def rep2(c, z):
         return (0, 0)
 
-    in_specs = (
-        [bs((1, nz * cap, 8), colmap_k(dx, dy)) for dx, dy in xy_list]
-        + [bs((1, 8), rep2)]
-        + [bs((tpad, tpad), rep2)] * 5
-    )
+    if z_unroll and cap % 8 == 0:
+        from jax.experimental.pallas import tpu as pltpu
 
-    call = pl_mod.pallas_call(
-        functools.partial(_column_kernel, cap=cap, n_types_pad=tpad,
-                          nz=nz, dzs=dzs, col_idx=col_idx,
-                          self_col=self_col, n_cols_u=n_cols_u,
-                          uniform_lj=uniform_lj),
-        grid=(nx * ny, nz),
-        in_specs=in_specs,
-        out_specs=(
-            bs((1, 4, cap), cellmap),
-            bs((1, 2, cap), cellmap),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((n_cells, 4, cap), jnp.float32),
-            jax.ShapeDtypeStruct((n_cells, 2, cap), jnp.float32),
-        ),
-        interpret=interpret,
-    )
-    force_c, energy_c = call(*([cols8] * n_cols_u), box8, *params)
+        counts = jnp.sum(slot_valid, axis=1, dtype=I32).reshape(nx * ny, 1, nz)
+
+        def colmap1_k(dx, dy):
+            def m(c):
+                cx = c // ny
+                cy = c % ny
+                return ((cx + dx) % nx * ny + (cy + dy) % ny, 0, 0)
+
+            return m
+
+        in_specs = (
+            [bs((1, 1, nz), lambda c: (c, 0, 0), memory_space=pltpu.SMEM)]
+            + [bs((1, nz * cap, 8), colmap1_k(dx, dy)) for dx, dy in xy_list]
+            + [bs((1, 8), lambda c: (0, 0))]
+            + [bs((tpad, tpad), lambda c: (0, 0))] * 5
+        )
+        call = pl_mod.pallas_call(
+            functools.partial(_colz_kernel, cap=cap, n_types_pad=tpad,
+                              nz=nz, dzs=dzs, col_idx=col_idx,
+                              self_col=self_col, n_cols_u=n_cols_u,
+                              n_packets=cap // 8, uniform_lj=uniform_lj),
+            grid=(nx * ny,),
+            in_specs=in_specs,
+            out_specs=bs((1, nz * cap, 8), lambda c: (c, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((nx * ny, nz * cap, 8),
+                                           jnp.float32),
+            interpret=interpret,
+        )
+        out_c = call(counts, *([cols8] * n_cols_u), box8, *params)
+        force = jnp.zeros((n, 3), pos.dtype)
+        flat_rows = jnp.where(slot_valid, rows, n).reshape(-1)
+        force = force.at[flat_rows].add(out_c[..., :3].reshape(-1, 3),
+                                        mode="drop")
+        sv = slot_valid.reshape(-1)
+        e = jnp.where(sv, out_c[..., 3].reshape(-1), 0.0)
+        w = jnp.where(sv, out_c[..., 4].reshape(-1), 0.0)
+        zero = jnp.asarray(0.0, pos.dtype)
+        return force, jnp.sum(e), zero, jnp.sum(w)
+    else:
+        in_specs = (
+            [bs((1, nz * cap, 8), colmap_k(dx, dy)) for dx, dy in xy_list]
+            + [bs((1, 8), rep2)]
+            + [bs((tpad, tpad), rep2)] * 5
+        )
+
+        call = pl_mod.pallas_call(
+            functools.partial(_column_kernel, cap=cap, n_types_pad=tpad,
+                              nz=nz, dzs=dzs, col_idx=col_idx,
+                              self_col=self_col, n_cols_u=n_cols_u,
+                              uniform_lj=uniform_lj),
+            grid=(nx * ny, nz),
+            in_specs=in_specs,
+            out_specs=(
+                bs((1, 4, cap), cellmap),
+                bs((1, 2, cap), cellmap),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((n_cells, 4, cap), jnp.float32),
+                jax.ShapeDtypeStruct((n_cells, 2, cap), jnp.float32),
+            ),
+            interpret=interpret,
+        )
+        force_c, energy_c = call(*([cols8] * n_cols_u), box8, *params)
 
     force = jnp.zeros((n, 3), pos.dtype)
     flat_rows = jnp.where(slot_valid, rows, n).reshape(-1)
