@@ -63,6 +63,17 @@ def _safe_vec(dr, valid, axis_unit):
     return jnp.where(valid[:, None], dr, unit)
 
 
+def _types(*rows):
+    """Type ids from channel 3 of packed [x, y, z, type] gather rows.
+
+    Small ints are exact in f32; the type rides the 16-byte row gather for
+    free (the gather wall is flat in row width up to 16 bytes), replacing a
+    separate type_id[...] element gather per term index.  stop_gradient
+    keeps the dead channel out of the AD graph.
+    """
+    return tuple(_sg(r[:, 3]).astype(jnp.int32) for r in rows)
+
+
 def _resolve(table: TermTable, gathered_func, gathered_par):
     """Per-row potential: typelookup rows re-resolve by the CURRENT type
     signature (the TopologyManager discipline for dynamic types); a lookup
@@ -78,14 +89,15 @@ def _resolve(table: TermTable, gathered_func, gathered_par):
     return func, par
 
 
-def bond_energies(spec: SimSpec, bond_funcs, pos, box, type_id, bonds: TermTable):
+def bond_energies(spec: SimSpec, bond_funcs, pos4, box, bonds: TermTable):
     i, j = bonds.idx[:, 0], bonds.idx[:, 1]
     valid = i >= 0
     i = jnp.maximum(i, 0)
     j = jnp.maximum(j, 0)
-    ti, tj = type_id[i], type_id[j]
+    pi, pj = pos4[i], pos4[j]               # one packed row gather per index
+    ti, tj = _types(pi, pj)
     func, par = _resolve(bonds, spec.bond_func_tt[ti, tj], spec.bond_par_tt[ti, tj])
-    dr = _safe_vec(_min_image(pos[i] - pos[j], box), valid, 0)
+    dr = _safe_vec(_min_image(pi[:, :3] - pj[:, :3], box), valid, 0)
     r = jnp.sqrt(jnp.sum(dr * dr, axis=-1))
 
     out = {}
@@ -115,14 +127,15 @@ def bond_energies(spec: SimSpec, bond_funcs, pos, box, type_id, bonds: TermTable
     return out
 
 
-def angle_energies(spec: SimSpec, angle_funcs, pos, box, type_id, angles: TermTable):
+def angle_energies(spec: SimSpec, angle_funcs, pos4, box, angles: TermTable):
     i, j, k = angles.idx[:, 0], angles.idx[:, 1], angles.idx[:, 2]
     valid = i >= 0
     i, j, k = jnp.maximum(i, 0), jnp.maximum(j, 0), jnp.maximum(k, 0)
-    ti, tj, tk = type_id[i], type_id[j], type_id[k]
+    pi, pj, pk = pos4[i], pos4[j], pos4[k]
+    ti, tj, tk = _types(pi, pj, pk)
     func, par = _resolve(angles, spec.angle_func_tt[ti, tj, tk], spec.angle_par_tt[ti, tj, tk])
-    rij = _safe_vec(_min_image(pos[i] - pos[j], box), valid, 0)
-    rkj = _safe_vec(_min_image(pos[k] - pos[j], box), valid, 1)
+    rij = _safe_vec(_min_image(pi[:, :3] - pj[:, :3], box), valid, 0)
+    rkj = _safe_vec(_min_image(pk[:, :3] - pj[:, :3], box), valid, 1)
     nij = jnp.sqrt(jnp.sum(rij * rij, -1))
     nkj = jnp.sqrt(jnp.sum(rkj * rkj, -1))
     c = jnp.clip(jnp.sum(rij * rkj, -1) / (nij * nkj), -1.0 + 1e-7, 1.0 - 1e-7)
@@ -144,17 +157,18 @@ def angle_energies(spec: SimSpec, angle_funcs, pos, box, type_id, angles: TermTa
     return out
 
 
-def dihedral_energies(spec: SimSpec, dih_funcs, pos, box, type_id, dihedrals: TermTable):
+def dihedral_energies(spec: SimSpec, dih_funcs, pos4, box, dihedrals: TermTable):
     i, j, k, l = (dihedrals.idx[:, 0], dihedrals.idx[:, 1],
                   dihedrals.idx[:, 2], dihedrals.idx[:, 3])
     valid = i >= 0
     i, j, k, l = (jnp.maximum(x, 0) for x in (i, j, k, l))
-    ti, tj, tk, tl = type_id[i], type_id[j], type_id[k], type_id[l]
+    pi, pj, pk, pl = pos4[i], pos4[j], pos4[k], pos4[l]
+    ti, tj, tk, tl = _types(pi, pj, pk, pl)
     func, par = _resolve(dihedrals, spec.dih_func_tt[ti, tj, tk, tl],
                          spec.dih_par_tt[ti, tj, tk, tl])
-    b1 = _safe_vec(_min_image(pos[j] - pos[i], box), valid, 0)
-    b2 = _safe_vec(_min_image(pos[k] - pos[j], box), valid, 1)
-    b3 = _safe_vec(_min_image(pos[l] - pos[k], box), valid, 2)
+    b1 = _safe_vec(_min_image(pj[:, :3] - pi[:, :3], box), valid, 0)
+    b2 = _safe_vec(_min_image(pk[:, :3] - pj[:, :3], box), valid, 1)
+    b3 = _safe_vec(_min_image(pl[:, :3] - pk[:, :3], box), valid, 2)
     n1 = jnp.cross(b1, b2)
     n2 = jnp.cross(b2, b3)
     b2n = b2 / jnp.sqrt(jnp.sum(b2 * b2, -1, keepdims=True) + 1e-30)
@@ -187,7 +201,7 @@ def dihedral_energies(spec: SimSpec, dih_funcs, pos, box, type_id, dihedrals: Te
     return out
 
 
-def pair14_energies(spec: SimSpec, pos, box, type_id, q, pairs14: TermTable):
+def pair14_energies(spec: SimSpec, pos4, box, q, pairs14: TermTable):
     """1-4 LJ (fudged) + truncated Coulomb pairs (ref: gromacs_topology.py:1314-1411).
 
     Entry params: [sigma, epsilon*fudgeLJ, cutoff^2, shift]; type-lookup rows
@@ -197,7 +211,7 @@ def pair14_energies(spec: SimSpec, pos, box, type_id, q, pairs14: TermTable):
     valid = i >= 0
     i, j = jnp.maximum(i, 0), jnp.maximum(j, 0)
     par = pairs14.params
-    dr = _safe_vec(_min_image(pos[i] - pos[j], box), valid, 0)
+    dr = _safe_vec(_min_image(pos4[i][:, :3] - pos4[j][:, :3], box), valid, 0)
     r2 = jnp.sum(dr * dr, -1)
     m = valid & (r2 < par[:, 2])
     s2 = par[:, 0] ** 2 / r2
@@ -212,14 +226,19 @@ def bonded_energy_terms(spec: SimSpec, cfg, pos, box, type_id, q,
                         bonds, angles, dihedrals, pairs14):
     """All bonded energy terms as a dict of scalars."""
     out = {}
+    # packed [x, y, z, type] rows: each term index costs ONE 16-byte-row
+    # gather instead of a pos row gather + a type element gather
+    pos4 = jnp.concatenate(
+        [pos, _sg(type_id.astype(pos.dtype))[:, None]], axis=-1)
     if cfg.bond_funcs:
-        out.update(bond_energies(spec, cfg.bond_funcs, pos, box, type_id, bonds))
+        out.update(bond_energies(spec, cfg.bond_funcs, pos4, box, bonds))
     if cfg.angle_funcs:
-        out.update(angle_energies(spec, cfg.angle_funcs, pos, box, type_id, angles))
+        out.update(angle_energies(spec, cfg.angle_funcs, pos4, box, angles))
     if cfg.dihedral_funcs:
-        out.update(dihedral_energies(spec, cfg.dihedral_funcs, pos, box, type_id, dihedrals))
+        out.update(dihedral_energies(spec, cfg.dihedral_funcs, pos4, box,
+                                     dihedrals))
     if cfg.pair14_cap:
-        out.update(pair14_energies(spec, pos, box, type_id, q, pairs14))
+        out.update(pair14_energies(spec, pos4, box, q, pairs14))
     return out
 
 

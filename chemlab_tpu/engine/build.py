@@ -479,7 +479,7 @@ def shrink_neighbor_caps(cfg: EngineConfig, spec: SimSpec, state,
     import jax.numpy as jnp
 
     rc_skin = float(jnp.sqrt(jnp.max(spec.pair_cutoff2)) + spec.skin)
-    buckets, _, _ = neighbor.build_cell_buckets(
+    buckets, _, _, _ = neighbor.build_cell_buckets(
         state.pos, state.box, state.active, cfg.cell_dims, cfg.cell_cap)
     occ = int(jnp.max(jnp.sum((buckets[:-1] >= 0).astype(jnp.int32), axis=1)))
     nbr = neighbor.build_neighbor_state(

@@ -45,7 +45,7 @@ def compute_forces(spec: SimSpec, cfg: EngineConfig, state: MDState):
             state.pos, state.type_id, state.active, state.box,
             state.nbr.buckets, cfg.cell_dims, spec,
             cfg.n_types, cfg.cell_cap, interpret=interpret,
-            uniform_lj=cfg.uniform_lj)
+            uniform_lj=cfg.uniform_lj, slot_of=state.nbr.slot_of)
         f_ex, e_lj_ex, e_tab_ex, _ = pallas_pair.excluded_pair_correction(
             spec, cfg.n_types, state.pos, state.box, state.type_id, state.excl,
             active=state.active, has_tab=cfg.has_tabulated)
@@ -146,7 +146,7 @@ def virial_pressure(spec: SimSpec, cfg: EngineConfig, state: MDState):
             state.pos, state.type_id, state.active, state.box,
             state.nbr.buckets, cfg.cell_dims, spec,
             cfg.n_types, cfg.cell_cap, interpret=interpret,
-            uniform_lj=cfg.uniform_lj)
+            uniform_lj=cfg.uniform_lj, slot_of=state.nbr.slot_of)
         _, _, _, w_ex = pallas_pair.excluded_pair_correction(
             spec, cfg.n_types, state.pos, state.box, state.type_id,
             state.excl, active=state.active, has_tab=cfg.has_tabulated)

@@ -88,6 +88,12 @@ def build_cell_buckets(pos, box, active, dims, cell_cap):
 
     Inactive particles land in the trailing junk bin and are silently dropped
     on overflow; real-bin overflow sets the returned flag.
+
+    Also returns ``slot_of`` (N,) int32 — each particle's flat slot index
+    into the real bins (cid * cell_cap + rank), with the sentinel
+    ``n_cells * cell_cap`` for inactive/dropped particles.  It is the exact
+    inverse of ``buckets``; the pallas force path uses it to turn the
+    epilogue scatter-add (~C*cap rows) into an (N,) gather.
     """
     n_cells = int(np.prod(dims))
     dims_a = jnp.asarray(dims, dtype=I32)
@@ -104,7 +110,11 @@ def build_cell_buckets(pos, box, active, dims, cell_cap):
     rank_c = jnp.where(rank < cell_cap, rank, cell_cap + n_cells)
     buckets = jnp.full((n_cells + 1, cell_cap), -1, dtype=I32)
     buckets = buckets.at[sorted_cid, rank_c].set(order.astype(I32), mode="drop")
-    return buckets, ci, overflow
+    flat_slot = jnp.where((sorted_cid < n_cells) & (rank < cell_cap),
+                          sorted_cid * cell_cap + rank,
+                          n_cells * cell_cap).astype(I32)
+    slot_of = jnp.zeros(pos.shape[0], I32).at[order].set(flat_slot)
+    return buckets, ci, overflow, slot_of
 
 
 def build_exclusion_rows(excl_pairs, n_pad, excl_cap):
@@ -149,7 +159,8 @@ def build_neighbor_state(pos, box, active, excl_pairs, rc_skin, *, dims, cell_ca
     """
     n_pad = pos.shape[0]
     rows = row_constraint(mesh)
-    buckets, ci, overflow = build_cell_buckets(pos, box, active, dims, cell_cap)
+    buckets, ci, overflow, slot_of = build_cell_buckets(pos, box, active,
+                                                        dims, cell_cap)
     offsets = jnp.asarray(neighbor_cell_offsets(dims))  # (S, 3)
     dims_a = jnp.asarray(dims, dtype=I32)
 
@@ -242,6 +253,7 @@ def build_neighbor_state(pos, box, active, excl_pairs, rc_skin, *, dims, cell_ca
         excl_mask=excl_mask,
         ref_pos=pos,
         buckets=buckets,
+        slot_of=rows(slot_of),
         birth=birth,
         overflow=overflow | nbr_overflow | excl_overflow,
         n_rebuilds=jnp.asarray(1, I32),
@@ -257,9 +269,10 @@ def refresh_buckets(nbr: NeighborState, pos, box, active, *, dims, cell_cap):
     Verlet guarantee by resetting ref_pos."""
     import dataclasses
 
-    buckets, _, overflow = build_cell_buckets(pos, box, active, dims, cell_cap)
+    buckets, _, overflow, slot_of = build_cell_buckets(pos, box, active,
+                                                       dims, cell_cap)
     return dataclasses.replace(
-        nbr, buckets=buckets, ref_pos=pos,
+        nbr, buckets=buckets, slot_of=slot_of, ref_pos=pos,
         overflow=nbr.overflow | overflow,
         n_rebuilds=nbr.n_rebuilds + 1)
 

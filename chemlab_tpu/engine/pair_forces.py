@@ -67,12 +67,16 @@ def pair_forces(spec: SimSpec, n_types: int, pos, box, type_id, q, lam, nbr_idx,
     has_lam = cfg is None or cfg.has_lambda_pairs
     n = pos.shape[0]
     j = nbr_idx
-    # ONE wide gather of (N, K, 3), then per-axis (N, K) planes for the math:
-    # measured on v5e, three narrow per-axis gathers cost ~2.5x the single
-    # 12-byte-row gather (gathers dominate the step at 10k), while keeping
-    # the *math* on (N, K) planes avoids any (.., 3)-lane-dim elementwise
-    # tensors (T(8,128) pads 3 -> 128)
-    pj = pos[j]                             # (N, K, 3)
+    # ONE wide gather of (N, K, 4) packed [x, y, z, type], then per-axis
+    # (N, K) planes for the math: measured on v5e, three narrow per-axis
+    # gathers cost ~2.5x the single row gather (gathers dominate the step),
+    # and the gather wall is flat in row width up to 16 bytes — packing the
+    # type into the spare channel makes the separate type_id[j] gather
+    # (another N*K elements) free.  The *math* stays on (N, K) planes to
+    # avoid any (.., 3)-lane-dim elementwise tensors (T(8,128) pads 3 -> 128).
+    packed = jnp.concatenate(
+        [pos, type_id.astype(pos.dtype)[:, None]], axis=-1)   # (N, 4)
+    pj = packed[j]                          # (N, K, 4)
     drs = []
     r2 = jnp.zeros(j.shape, pos.dtype)
     for ax in range(3):
@@ -85,7 +89,7 @@ def pair_forces(spec: SimSpec, n_types: int, pos, box, type_id, q, lam, nbr_idx,
     r = jnp.sqrt(r2)
 
     ti = type_id[:, None]
-    tj = type_id[j]
+    tj = pj[..., 3].astype(jnp.int32)       # exact: type ids << 2^24
     p = ti * n_types + tj
 
     kind = spec.pair_kind[p]

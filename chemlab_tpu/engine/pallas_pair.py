@@ -77,26 +77,29 @@ def _kernel(*refs,
     arithmetic on the cell index) — a prefetched (n_cells, S) table would
     lane-pad to n_cells*128 ints in SMEM and overflow it at 100k particles.
 
-    refs layout: cpos, ctype, S x npos, S x ntype, box,
-                 sig, eps, cut2, shift, islj, force_out, energy_out.
+    Operands are PACKED: channel 3 of cpos carries type_id + 1 for a valid
+    slot and 0 for an invalid one (padding / inactive), so the wrapper needs
+    ONE gather per call (and the kernel half as many DMAs) instead of
+    separate pos/type/valid streams — the wrapper's three 16-byte-row
+    gathers were the measured bound of every kernel variant at 100k.
+
+    refs layout: cpos, S x npos, box, sig, eps, cut2, shift, islj,
+                 force_out, energy_out.
     """
     cpos_ref = refs[0]
-    ctype_ref = refs[1]
-    npos_refs = refs[2:2 + n_stencil]
-    ntype_refs = refs[2 + n_stencil:2 + 2 * n_stencil]
-    box_ref = refs[2 + 2 * n_stencil]
+    npos_refs = refs[1:1 + n_stencil]
+    box_ref = refs[1 + n_stencil]
     sig_ref, eps_ref, cut2_ref, shift_ref, islj_ref = \
-        refs[3 + 2 * n_stencil:8 + 2 * n_stencil]
-    force_ref = refs[8 + 2 * n_stencil]       # out (1, 4, cap) — axes-major:
+        refs[2 + n_stencil:7 + n_stencil]
+    force_ref = refs[7 + n_stencil]           # out (1, 4, cap) — axes-major:
                                               # Mosaic has no scatter-add, so
                                               # the accumulate is a full-tile
                                               # stacked add, not .at[:, ax]
-    energy_ref = refs[9 + 2 * n_stencil]      # out (1, 1, cap) [lj]
+    energy_ref = refs[8 + n_stencil]          # out (1, 2, cap) [lj, virial]
 
-    xi = cpos_ref[0]                          # (cap, 4): xyz + valid flag
+    xi = cpos_ref[0]                          # (cap, 4): xyz + (type+1|0)
     xj = jnp.concatenate([r[0] for r in npos_refs], axis=0)   # (S*cap, 4)
     box = box_ref[0]
-    ti = ctype_ref[0, 0]                      # (cap,) int32
 
     # minimum-image displacement tiles, (cap, S*cap) per axis
     dr = []
@@ -124,15 +127,15 @@ def _kernel(*refs,
     else:
         # type-pair parameter lookup via rank-1 one-hot contraction:
         # P[ti, tj] = onehot(ti) @ P @ onehot(tj)^T  — MXU, no gather.
-        # One-hots are built per stencil block and concatenated as 2-D
-        # tiles: Mosaic rejects lane-dim concatenation of (cap,) int vectors
-        # at non-128-aligned offsets, but sublane concat of (cap, Tp) tiles
-        # is fine
-        iota_i = jax.lax.broadcasted_iota(I32, (cap, n_types_pad), 1)
-        ti_oh = (ti[:, None] == iota_i).astype(jnp.float32)   # (cap, Tp)
-        tj_oh = jnp.concatenate(
-            [(r[0, 0][:, None] == iota_i).astype(jnp.float32)
-             for r in ntype_refs], axis=0)                    # (S*cap, Tp)
+        # One-hots come from the packed tv = type+1 channel by float
+        # compare (small ints are exact in f32); tv = 0 (invalid) matches
+        # no column, so invalid rows contribute zero through the LUT too.
+        iota_i = jax.lax.broadcasted_iota(
+            jnp.float32, (cap, n_types_pad), 1) + 1.0
+        iota_j = jax.lax.broadcasted_iota(
+            jnp.float32, (xj.shape[0], n_types_pad), 1) + 1.0
+        ti_oh = (xi[:, 3][:, None] == iota_i).astype(jnp.float32)  # (cap, Tp)
+        tj_oh = (xj[:, 3][:, None] == iota_j).astype(jnp.float32)  # (S*cap,Tp)
 
         def lut(m_ref):
             return jnp.dot(ti_oh, jnp.dot(m_ref[...], tj_oh.T),
@@ -753,6 +756,214 @@ def _colz_kernel(*refs, cap: int, n_types_pad: int, nz: int,
                 out_ref[0, z * cap + p * 8:z * cap + (p + 1) * 8, :] = out8
 
 
+def _colt_kernel(*refs, cap: int, n_types_pad: int, nz: int,
+                 self_col: int, n_cols_u: int, n_packets: int,
+                 uniform_lj: bool = False):
+    """Transpose-once column kernel ("colt"): the measured bound of every
+    streamed variant is the per-z sublane->lane channel transpose of the
+    candidate tile (xj[:, ax][None, :] on a (S*cap, 8) slice, repeated for
+    x/y/z/valid/type at every cell — cell, dynamic-column and z-unrolled
+    kernels all land at 54-60 ms at 100k despite 24x different grid and
+    DMA counts).  Here each program transposes its 9 HALOED z-columns ONCE
+    into channel-major (8, (nz+2)*cap) scratch, and every cell reads its
+    stencil windows as unaligned static LANE slices (measured ~free); the
+    pair tile is per-column (8, 3*cap) with rows packet-gated on the cell
+    fill.
+
+    Candidate GROUPING differs from the cell kernel (per-column partial
+    sums instead of one (cap, S*cap) lane reduction), so results agree to
+    f32 rounding, not bitwise; the per-pair op sequence is unchanged, which
+    is what the excluded-pair correction contract requires.
+
+    refs: counts (SMEM (1, 1, nz)), n_cols_u x haloed column
+          (1, (nz+2)*cap, 8) [x,y,z,valid,type,0,0,0], box (1, 8),
+          sig, eps, cut2, shift, islj, out (1, nz*cap, 8)
+          [fx, fy, fz, e/2, w/2, 0, 0, 0]; scratch: n_cols_u x
+          (8, (nz+2)*cap) f32.
+    """
+    counts_ref = refs[0]
+    self_ref = refs[1]                                # (1, (nz+2)*cap, 8)
+    colt_refs = refs[2:2 + n_cols_u]                  # (1, 8, (nz+2)*cap)
+    box_ref = refs[2 + n_cols_u]
+    sig_ref, eps_ref, cut2_ref, shift_ref, islj_ref = \
+        refs[3 + n_cols_u:8 + n_cols_u]
+    out_ref = refs[8 + n_cols_u]
+
+    out_ref[...] = jnp.zeros_like(out_ref)
+    box = box_ref[0]
+    W = 3 * cap
+
+    for z in range(nz):
+        lo = z * cap                                   # haloed window start
+        if not uniform_lj:
+            iota_t = jax.lax.broadcasted_iota(
+                I32, (n_types_pad, W), 0).astype(jnp.float32)
+        wins = [colt_refs[k][0, :, lo:lo + W] for k in range(n_cols_u)]
+
+        for p in range(n_packets):
+            @pl.when(p * 8 < counts_ref[0, 0, z])
+            def _compute(z=z, p=p, wins=wins,
+                         iota_t=None if uniform_lj else iota_t):
+                r0 = (z + 1) * cap + p * 8             # haloed self rows
+                xi = self_ref[0, r0:r0 + 8, :]                  # (8, 8)
+
+                fx = jnp.zeros((8,), jnp.float32)
+                fy = jnp.zeros((8,), jnp.float32)
+                fz = jnp.zeros((8,), jnp.float32)
+                es = jnp.zeros((8,), jnp.float32)
+                ws = jnp.zeros((8,), jnp.float32)
+                if not uniform_lj:
+                    iota_i = jax.lax.broadcasted_iota(
+                        I32, (8, n_types_pad), 1).astype(jnp.float32)
+                    ti_oh = (xi[:, 4][:, None] == iota_i).astype(jnp.float32)
+
+                for k in range(n_cols_u):
+                    w = wins[k]                        # (8ch, W)
+                    dr = []
+                    r2 = jnp.zeros((8, W), jnp.float32)
+                    for ax in range(3):
+                        d = xi[:, ax][:, None] - w[ax][None, :]
+                        d = d - box[ax] * jnp.round(d / box[ax])
+                        dr.append(d)
+                        r2 = r2 + d * d
+
+                    valid = (xi[:, 3][:, None] > 0.5) & (w[3][None, :] > 0.5)
+                    valid &= r2 > 1e-12
+                    r2s = jnp.where(valid, r2, 1.0)
+
+                    if uniform_lj:
+                        sig = sig_ref[0, 0]
+                        eps = eps_ref[0, 0]
+                        cut2 = cut2_ref[0, 0]
+                        shift = shift_ref[0, 0]
+                        in_cut = valid & (r2s < cut2)
+                    else:
+                        tj_oh_t = (w[4][None, :] == iota_t).astype(jnp.float32)
+
+                        def lut(m_ref):
+                            return jnp.dot(
+                                ti_oh,
+                                jnp.dot(m_ref[...], tj_oh_t,
+                                        preferred_element_type=jnp.float32),
+                                preferred_element_type=jnp.float32)
+
+                        sig = lut(sig_ref)
+                        eps = lut(eps_ref)
+                        cut2 = lut(cut2_ref)
+                        shift = lut(shift_ref)
+                        in_cut = valid & (r2s < cut2) & (lut(islj_ref) > 0.5)
+
+                    # identical per-pair op sequence to _kernel /
+                    # excluded_pair_correction (0.75-sigma soft core)
+                    r2c = jnp.maximum(r2s, 0.5625 * (sig * sig))
+                    s2 = (sig * sig) / r2c
+                    s6 = s2 * s2 * s2
+                    e_lj = jnp.where(in_cut,
+                                     4.0 * eps * (s6 * s6 - s6) - shift, 0.0)
+                    f_lj = jnp.where(in_cut,
+                                     48.0 * eps * (s6 * s6 - 0.5 * s6) / r2c,
+                                     0.0)
+
+                    fx = fx + jnp.sum(f_lj * dr[0], axis=1)
+                    fy = fy + jnp.sum(f_lj * dr[1], axis=1)
+                    fz = fz + jnp.sum(f_lj * dr[2], axis=1)
+                    es = es + 0.5 * jnp.sum(e_lj, axis=1)
+                    ws = ws + 0.5 * jnp.sum(f_lj * r2s, axis=1)
+
+                out8 = jnp.stack([fx, fy, fz, es, ws] +
+                                 [jnp.zeros_like(fx)] * 3, axis=1)   # (8, 8)
+                out_ref[0, z * cap + p * 8:z * cap + (p + 1) * 8, :] = out8
+
+
+def cell_pair_forces_colt(pos, type_id, active, box, buckets, dims, spec,
+                          n_types: int, cap: int, interpret: bool = False,
+                          uniform_lj: bool = False):
+    """Transpose-once column kernel (see _colt_kernel).  Same contract as
+    cell_pair_forces (UNexcluded all-pairs sum); requires min(dims) >= 3
+    (full 27-stencil) and cap % 8 == 0 — callers gate and fall back."""
+    from jax.experimental import pallas as pl_mod
+    from jax.experimental.pallas import tpu as pltpu
+
+    global pl
+    pl = pl_mod
+
+    nx, ny, nz = (int(d) for d in dims)
+    n_cells = nx * ny * nz
+    n = pos.shape[0]
+    rows = jnp.maximum(buckets[:n_cells], 0)                # (C, cap)
+    slot_valid = (buckets[:n_cells] >= 0) & active[rows]
+    cpos8 = jnp.concatenate(
+        [pos[rows],
+         slot_valid[..., None].astype(pos.dtype),
+         jnp.where(slot_valid, type_id[rows], 0).astype(pos.dtype)[..., None],
+         jnp.zeros(rows.shape + (3,), pos.dtype)], axis=-1)  # (C, cap, 8)
+    cols8 = cpos8.reshape(nx * ny, nz * cap, 8)
+    # z-halo: [last cell | column | first cell] so every stencil window is
+    # one contiguous lane slice after the in-kernel transpose
+    cols8h = jnp.concatenate(
+        [cols8[:, -cap:], cols8, cols8[:, :cap]], axis=1)    # (CC, (nz+2)cap, 8)
+    counts = jnp.sum(slot_valid, axis=1, dtype=I32).reshape(nx * ny, 1, nz)
+    box8 = jnp.concatenate([box, jnp.ones(5, box.dtype)])[None, :]
+
+    tpad = max(8, -(-n_types // 8) * 8)
+    is_lj = (spec.pair_kind == PAIR_LJ).astype(jnp.float32)
+    params = [
+        _pad_tt(spec.pair_sig, n_types, tpad),
+        _pad_tt(spec.pair_eps, n_types, tpad),
+        _pad_tt(spec.pair_cutoff2, n_types, tpad),
+        _pad_tt(spec.pair_shift, n_types, tpad),
+        _pad_tt(is_lj, n_types, tpad),
+    ]
+
+    # the 9 xy-neighbor columns (full 27-stencil required)
+    xy_list = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    self_col = xy_list.index((0, 0))
+    n_cols_u = len(xy_list)
+    bs = pl_mod.BlockSpec
+
+    def colmap1_k(dx, dy):
+        def m(c):
+            cx = c // ny
+            cy = c % ny
+            return ((cx + dx) % nx * ny + (cy + dy) % ny, 0, 0)
+
+        return m
+
+    # channel-major columns for the candidate windows: lane dim (nz+2)*cap
+    # makes the HBM->VMEM DMA dense (an 8-lane-minor operand fragments into
+    # strided sublane chunks) and the in-kernel window reads transpose-free
+    cols8hT = cols8h.transpose(0, 2, 1)                  # (CC, 8, (nz+2)cap)
+
+    in_specs = (
+        [bs((1, 1, nz), lambda c: (c, 0, 0), memory_space=pltpu.SMEM),
+         bs((1, (nz + 2) * cap, 8), colmap1_k(0, 0))]
+        + [bs((1, 8, (nz + 2) * cap), colmap1_k(dx, dy))
+           for dx, dy in xy_list]
+        + [bs((1, 8), lambda c: (0, 0))]
+        + [bs((tpad, tpad), lambda c: (0, 0))] * 5
+    )
+    call = pl_mod.pallas_call(
+        functools.partial(_colt_kernel, cap=cap, n_types_pad=tpad,
+                          nz=nz, self_col=self_col, n_cols_u=n_cols_u,
+                          n_packets=cap // 8, uniform_lj=uniform_lj),
+        grid=(nx * ny,),
+        in_specs=in_specs,
+        out_specs=bs((1, nz * cap, 8), lambda c: (c, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nx * ny, nz * cap, 8), jnp.float32),
+        interpret=interpret,
+    )
+    out_c = call(counts, cols8h, *([cols8hT] * n_cols_u), box8, *params)
+    force = jnp.zeros((n, 3), pos.dtype)
+    flat_rows = jnp.where(slot_valid, rows, n).reshape(-1)
+    force = force.at[flat_rows].add(out_c[..., :3].reshape(-1, 3),
+                                    mode="drop")
+    sv = slot_valid.reshape(-1)
+    e = jnp.where(sv, out_c[..., 3].reshape(-1), 0.0)
+    w = jnp.where(sv, out_c[..., 4].reshape(-1), 0.0)
+    zero = jnp.asarray(0.0, pos.dtype)
+    return force, jnp.sum(e), zero, jnp.sum(w)
+
+
 def cell_pair_forces_columns(pos, type_id, active, box, buckets, dims, spec,
                              n_types: int, cap: int, interpret: bool = False,
                              uniform_lj: bool = False, z_unroll: bool = True):
@@ -908,14 +1119,17 @@ def _pad_tt(a, n_types: int, pad: int):
 
 def cell_pair_forces(pos, type_id, active, box, buckets, dims, spec,
                      n_types: int, cap: int, interpret: bool = False,
-                     uniform_lj: bool = False, packets: bool | None = None):
+                     uniform_lj: bool = False, packets: bool | None = None,
+                     slot_of=None):
     """All-pairs (minus nothing) cell-tile LJ forces.
 
     Returns (force (N,3), e_lj scalar, e_tab scalar == 0) over the UNexcluded
     all-pairs sum; callers subtract the exclusion-list contributions.
     ``buckets`` is (n_cells+1, cap) particle rows (-1 padded); ``dims`` the
-    static cell-grid dims.  Dispatches to the packet-grid kernel
-    (occupancy-gated row work) unless CHEMLAB_PACKET=0.
+    static cell-grid dims.  ``slot_of`` (the (N,) inverse of buckets, from
+    ``build_cell_buckets``) turns the epilogue scatter-add into per-axis
+    gathers; without it the legacy scatter path runs.  CHEMLAB_KERNEL
+    selects an experimental variant kernel.
     """
     import os
 
@@ -944,6 +1158,11 @@ def cell_pair_forces(pos, type_id, active, box, buckets, dims, spec,
                                         dims, spec, n_types, cap,
                                         interpret=interpret,
                                         uniform_lj=uniform_lj)
+    if choice == "colt" and cap % 8 == 0 and min(int(d) for d in dims) >= 3:
+        return cell_pair_forces_colt(pos, type_id, active, box, buckets,
+                                     dims, spec, n_types, cap,
+                                     interpret=interpret,
+                                     uniform_lj=uniform_lj)
     if choice == "packet" and cap % 8 == 0:
         return cell_pair_forces_packets(pos, type_id, active, box, buckets,
                                         dims, spec, n_types, cap,
@@ -956,14 +1175,15 @@ def cell_pair_forces(pos, type_id, active, box, buckets, dims, spec,
 
     n_cells = int(np.prod(dims))
     n = pos.shape[0]
+    # packed operand: ONE (C*cap,) 16-byte-row gather instead of separate
+    # pos/type/valid gathers — the three-gather wrapper was the measured
+    # bound of every kernel variant at 100k (~11-14 ns/element gather wall;
+    # rows up to 16 bytes cost the same as one element)
+    tv = jnp.where(active, type_id + 1, 0).astype(pos.dtype)
+    packed = jnp.concatenate([pos, tv[:, None]], axis=-1)   # (N, 4)
     rows = jnp.maximum(buckets[:n_cells], 0)                # (C, cap)
-    slot_valid = (buckets[:n_cells] >= 0) & active[rows]
-    cpos = jnp.concatenate(
-        [pos[rows], slot_valid[..., None].astype(pos.dtype)], axis=-1)
-    # (C, 1, cap): TPU block specs need the last two dims tileable — a
-    # (1, cap) block of a (C, cap) array is not (second-to-last dim 1 is
-    # neither 8-divisible nor equal to C); (1, 1, cap) of (C, 1, cap) is.
-    ctype = jnp.where(slot_valid, type_id[rows], 0).astype(I32)[:, None, :]
+    cpos = jnp.where((buckets[:n_cells] >= 0)[..., None],
+                     packed[rows], 0.0)
     box4 = jnp.concatenate([box, jnp.ones(1, box.dtype)])[None, :]
 
     tpad = max(8, -(-n_types // 8) * 8)
@@ -991,18 +1211,28 @@ def cell_pair_forces(pos, type_id, active, box, buckets, dims, spec,
         interpret=interpret,
     )
     force_c, energy_c = call(
-        cpos, ctype,
-        *([cpos] * n_stencil), *([ctype] * n_stencil),
-        box4, *params)
+        cpos, *([cpos] * n_stencil), box4, *params)
 
-    # scatter back to particle rows: (C, 4, cap) -> (C*cap, 3)
-    force = jnp.zeros((n, 3), pos.dtype)
-    flat_rows = jnp.where(slot_valid, rows, n).reshape(-1)
-    force = force.at[flat_rows].add(
-        force_c[:, :3, :].transpose(0, 2, 1).reshape(-1, 3), mode="drop")
-    sv = slot_valid.reshape(-1)
-    e = jnp.where(sv, energy_c[:, 0].reshape(-1), 0.0)
-    w = jnp.where(sv, energy_c[:, 1].reshape(-1), 0.0)
+    # epilogue: every particle lives in exactly ONE slot, so the force
+    # comes back by the slot_of inverse map — three (N,) per-axis gathers
+    # (the (C*cap, 3)-minor transpose form risks the T(8,128) padded
+    # layout) instead of a C*cap-row scatter-add.  Invalid slots computed
+    # zero already (tv=0 gates them in-kernel), so energies are plain sums.
+    if slot_of is not None:
+        in_grid = slot_of < n_cells * cap
+        slot_c = jnp.where(in_grid, slot_of, 0)
+        c = slot_c // cap
+        p = slot_c - c * cap
+        force = jnp.stack(
+            [jnp.where(in_grid, force_c[:, ax, :][c, p], 0.0)
+             for ax in range(3)], axis=-1)
+    else:
+        force = jnp.zeros((n, 3), pos.dtype)
+        flat_rows = jnp.where(buckets[:n_cells] >= 0, rows, n).reshape(-1)
+        force = force.at[flat_rows].add(
+            force_c[:, :3, :].transpose(0, 2, 1).reshape(-1, 3), mode="drop")
+    e = energy_c[:, 0].reshape(-1)
+    w = energy_c[:, 1].reshape(-1)
     zero = jnp.asarray(0.0, pos.dtype)
     return force, jnp.sum(e), zero, jnp.sum(w)
 
@@ -1039,10 +1269,8 @@ def pltpu_grid(n_cells, cap, tpad, dims, offsets):
     return pl_mod.GridSpec(
         grid=(n_cells,),
         in_specs=(
-            [bs((1, cap, 4), cell_map),
-             bs((1, 1, cap), cell_map)]
+            [bs((1, cap, 4), cell_map)]
             + [bs((1, cap, 4), nbr_map_k(off)) for off in offsets]
-            + [bs((1, 1, cap), nbr_map_k(off)) for off in offsets]
             + [bs((1, 4), rep2)]
             + [bs((tpad, tpad), rep2)] * 5
         ),

@@ -378,7 +378,7 @@ def compact_candidates_from_cells(spec: SimSpec, cfg: EngineConfig,
     import numpy as np
 
     dims = cfg.rx_dims
-    buckets, ci, b_ovf = neighbor.build_cell_buckets(
+    buckets, ci, b_ovf, _ = neighbor.build_cell_buckets(
         state.pos, state.box, state.active, dims, cfg.rx_cell_cap)
     offsets = jnp.asarray(neighbor.neighbor_cell_offsets(dims))
     dims_a = jnp.asarray(dims, dtype=I32)

@@ -107,6 +107,8 @@ class NeighborState:
     excl_mask: jnp.ndarray  # (N, K) bool — True when pair is excluded
     ref_pos: jnp.ndarray    # (N, 3) positions at last rebuild
     buckets: jnp.ndarray    # (n_cells+1, cap) cell-dense rows (pallas path)
+    slot_of: jnp.ndarray    # (N,) int32 inverse of buckets: flat real-bin
+                            # slot per particle (n_cells*cap = dropped)
     birth: jnp.ndarray      # (N, K) int32 step the pair first appeared
                             # (ParticlePairScaling, func 14; (1,1) when unused)
     overflow: jnp.ndarray   # () bool — any neighbor slot overflowed
