@@ -1288,18 +1288,29 @@ def excluded_pair_correction(spec, n_types, pos, box, type_id, excl,
     i = excl[:, 0]
     j = excl[:, 1]
     valid = (i >= 0) & (j >= 0)
-    if active is not None:
-        # the kernel never added pairs with inactive endpoints; subtracting
-        # them here would inject spurious force
-        valid &= active[jnp.maximum(i, 0)] & active[jnp.maximum(j, 0)]
     ic = jnp.maximum(i, 0)
     jc = jnp.maximum(j, 0)
-    d = pos[ic] - pos[jc]
+    # packed [x, y, z, type+1|0] rows — one 16-byte-row gather per endpoint
+    # instead of pos + type + active gathers; the same packing expression as
+    # the cell kernel's wrapper, so XLA CSE shares the array within a step
+    if active is not None:
+        tv = jnp.where(active, type_id + 1, 0).astype(pos.dtype)
+    else:
+        tv = (type_id + 1).astype(pos.dtype)
+    packed = jnp.concatenate([pos, tv[:, None]], axis=-1)
+    pi = packed[ic]
+    pj = packed[jc]
+    # the kernel never added pairs with inactive endpoints; subtracting
+    # them here would inject spurious force
+    valid &= (pi[:, 3] > 0.5) & (pj[:, 3] > 0.5)
+    d = pi[:, :3] - pj[:, :3]
     d = d - box * jnp.round(d / box)
     r2 = jnp.sum(d * d, -1)
     r2s = jnp.where(valid, jnp.maximum(r2, 1e-12), 1.0)
     r = jnp.sqrt(r2s)
-    pid = type_id[ic] * n_types + type_id[jc]
+    ti = jnp.maximum(pi[:, 3].astype(I32) - 1, 0)
+    tj = jnp.maximum(pj[:, 3].astype(I32) - 1, 0)
+    pid = ti * n_types + tj
     kind = spec.pair_kind[pid]
     in_cut = valid & (r2s < spec.pair_cutoff2[pid])
 
