@@ -1175,15 +1175,23 @@ def cell_pair_forces(pos, type_id, active, box, buckets, dims, spec,
 
     n_cells = int(np.prod(dims))
     n = pos.shape[0]
-    # packed operand: ONE (C*cap,) 16-byte-row gather instead of separate
+    # packed operand: ONE (C*cap,) 16-byte-row transfer instead of separate
     # pos/type/valid gathers — the three-gather wrapper was the measured
     # bound of every kernel variant at 100k (~11-14 ns/element gather wall;
     # rows up to 16 bytes cost the same as one element)
     tv = jnp.where(active, type_id + 1, 0).astype(pos.dtype)
     packed = jnp.concatenate([pos, tv[:, None]], axis=-1)   # (N, 4)
-    rows = jnp.maximum(buckets[:n_cells], 0)                # (C, cap)
-    cpos = jnp.where((buckets[:n_cells] >= 0)[..., None],
-                     packed[rows], 0.0)
+    if slot_of is not None and os.environ.get("CHEMLAB_DENSE") != "gather":
+        # scatter N rows into zeros instead of gathering C*cap rows: holes
+        # stay tv=0 (invalid), inactive/dropped particles carry the
+        # out-of-range sentinel and drop — identical semantics to the
+        # masked gather with cap/occupancy-times fewer rows moved
+        cpos = jnp.zeros((n_cells * cap, 4), pos.dtype).at[slot_of].set(
+            packed, mode="drop").reshape(n_cells, cap, 4)
+    else:
+        rows = jnp.maximum(buckets[:n_cells], 0)            # (C, cap)
+        cpos = jnp.where((buckets[:n_cells] >= 0)[..., None],
+                         packed[rows], 0.0)
     box4 = jnp.concatenate([box, jnp.ones(1, box.dtype)])[None, :]
 
     tpad = max(8, -(-n_types // 8) * 8)
