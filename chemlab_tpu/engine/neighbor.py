@@ -158,6 +158,7 @@ def build_neighbor_state(pos, box, active, excl_pairs, rc_skin, *, dims, cell_ca
     previous list inherit their birth step, new pairs start at ``step``.
     """
     n_pad = pos.shape[0]
+    n_cells = int(np.prod(dims))
     rows = row_constraint(mesh)
     buckets, ci, overflow, slot_of = build_cell_buckets(pos, box, active,
                                                         dims, cell_cap)
@@ -167,32 +168,41 @@ def build_neighbor_state(pos, box, active, excl_pairs, rc_skin, *, dims, cell_ca
     # candidate cells per particle: (N, S)
     nc = (ci[:, None, :] + offsets[None, :, :]) % dims_a
     ncid = rows((nc[..., 0] * dims[1] + nc[..., 1]) * dims[2] + nc[..., 2])
-    cand = rows(buckets[ncid].reshape(n_pad, -1))  # (N, S*cap)
 
     # squared distances with minimum image on per-axis (N, S*cap) planes.
-    # Candidate positions are fetched CELL-BLOCK-wise: scatter each axis
-    # into a cell-dense (n_cells+1, cap) plane (C*cap elements, tiny), then
-    # gather whole cap-wide rows by stencil cell id — the same access
-    # pattern as the bucket gather above.  Block-row copies measured ~50x
-    # cheaper than per-element gathers on v5e (33 ms vs 4.8 s for the
-    # 151M-element candidate matrix at 100k); per-element gathers of
-    # pos[cand] were the single most expensive stage of the old rebuild.
-    # (A wide (N, S*cap, 3) gather is also off the table: XLA can
-    # materialize it T(8,128)-padded, 42x HBM.)
-    cand_safe = jnp.maximum(cand, 0)
-    rows_safe = jnp.maximum(buckets, 0)
-    d2 = jnp.zeros(cand.shape, pos.dtype)
+    # Candidate data is fetched CELL-BLOCK-wise from ONE packed plane of
+    # [x, y, z, id+1] rows (built by a single N-row scatter through
+    # slot_of): block-row copies measured ~50x cheaper than per-element
+    # gathers on v5e (33 ms vs 4.8 s for the 151M-element candidate matrix
+    # at 100k) AND their cost is per-ROW, so packing position + identity
+    # into one row replaces the former four block gathers (bucket ids +
+    # three per-axis planes) with one.  Per-axis math stays on strided
+    # (N, S*cap) slices — no (.., small)-minor tensor is ever materialized
+    # (a wide (N, S*cap, 3) gather can come back T(8,128)-padded, 42x HBM).
+    pid1 = (jnp.arange(n_pad, dtype=I32) + 1).astype(pos.dtype)
+    plane4 = jnp.zeros(((n_cells + 1) * cell_cap, 4), pos.dtype)
+    # inactive/dropped rows carry the sentinel slot n_cells*cell_cap, which
+    # lands in the junk row — never gathered (ncid indexes real cells only)
+    plane4 = plane4.at[slot_of].set(
+        jnp.concatenate([pos, pid1[:, None]], axis=-1))
+    plane4r = plane4.reshape(n_cells + 1, cell_cap * 4)
+    g = rows(plane4r[ncid].reshape(n_pad, -1))       # (N, S*cap*4), 1 gather
+    d2 = jnp.zeros((n_pad, g.shape[1] // 4), pos.dtype)
     for ax in range(3):
-        cplane = pos[:, ax][rows_safe]                   # (C+1, cap)
-        cand_ax = rows(cplane[ncid].reshape(n_pad, -1))  # block-row gather
-        d = cand_ax - pos[:, ax][:, None]
+        d = g[:, ax::4] - pos[:, ax][:, None]
         d -= box[ax] * jnp.round(d / box[ax])
         d2 += d * d
     d2 = rows(d2)
+    # id+1 channel: holes are 0 -> -1, exactly the old bucket padding; ids
+    # are exact in f32 up to 2^24 rows
+    cand = rows(g[:, 3::4].astype(I32) - 1)          # (N, S*cap)
+    cand_safe = jnp.maximum(cand, 0)
 
     self_idx = jnp.arange(n_pad, dtype=I32)
     valid = (cand >= 0) & (cand != self_idx[:, None]) & (d2 < rc_skin * rc_skin)
-    valid &= active[cand_safe] & active[:, None]
+    # NOTE: no active[cand] gather — build_cell_buckets bins inactive
+    # particles into the junk row, so a real slot's id is always active
+    valid &= active[:, None]
     valid = rows(valid)
 
     # nearest-K compaction via top_k on -d2: measured 2x faster than the
