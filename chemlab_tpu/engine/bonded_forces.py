@@ -89,12 +89,9 @@ def _resolve(table: TermTable, gathered_func, gathered_par):
     return func, par
 
 
-def bond_energies(spec: SimSpec, bond_funcs, pos4, box, bonds: TermTable):
-    i, j = bonds.idx[:, 0], bonds.idx[:, 1]
-    valid = i >= 0
-    i = jnp.maximum(i, 0)
-    j = jnp.maximum(j, 0)
-    pi, pj = pos4[i], pos4[j]               # one packed row gather per index
+def bond_energies(spec: SimSpec, bond_funcs, rows4, box, bonds: TermTable):
+    valid = bonds.idx[:, 0] >= 0
+    pi, pj = rows4[:, 0], rows4[:, 1]
     ti, tj = _types(pi, pj)
     func, par = _resolve(bonds, spec.bond_func_tt[ti, tj], spec.bond_par_tt[ti, tj])
     dr = _safe_vec(_min_image(pi[:, :3] - pj[:, :3], box), valid, 0)
@@ -127,11 +124,9 @@ def bond_energies(spec: SimSpec, bond_funcs, pos4, box, bonds: TermTable):
     return out
 
 
-def angle_energies(spec: SimSpec, angle_funcs, pos4, box, angles: TermTable):
-    i, j, k = angles.idx[:, 0], angles.idx[:, 1], angles.idx[:, 2]
-    valid = i >= 0
-    i, j, k = jnp.maximum(i, 0), jnp.maximum(j, 0), jnp.maximum(k, 0)
-    pi, pj, pk = pos4[i], pos4[j], pos4[k]
+def angle_energies(spec: SimSpec, angle_funcs, rows4, box, angles: TermTable):
+    valid = angles.idx[:, 0] >= 0
+    pi, pj, pk = rows4[:, 0], rows4[:, 1], rows4[:, 2]
     ti, tj, tk = _types(pi, pj, pk)
     func, par = _resolve(angles, spec.angle_func_tt[ti, tj, tk], spec.angle_par_tt[ti, tj, tk])
     rij = _safe_vec(_min_image(pi[:, :3] - pj[:, :3], box), valid, 0)
@@ -157,12 +152,10 @@ def angle_energies(spec: SimSpec, angle_funcs, pos4, box, angles: TermTable):
     return out
 
 
-def dihedral_energies(spec: SimSpec, dih_funcs, pos4, box, dihedrals: TermTable):
-    i, j, k, l = (dihedrals.idx[:, 0], dihedrals.idx[:, 1],
-                  dihedrals.idx[:, 2], dihedrals.idx[:, 3])
-    valid = i >= 0
-    i, j, k, l = (jnp.maximum(x, 0) for x in (i, j, k, l))
-    pi, pj, pk, pl = pos4[i], pos4[j], pos4[k], pos4[l]
+def dihedral_energies(spec: SimSpec, dih_funcs, rows4, box,
+                      dihedrals: TermTable):
+    valid = dihedrals.idx[:, 0] >= 0
+    pi, pj, pk, pl = rows4[:, 0], rows4[:, 1], rows4[:, 2], rows4[:, 3]
     ti, tj, tk, tl = _types(pi, pj, pk, pl)
     func, par = _resolve(dihedrals, spec.dih_func_tt[ti, tj, tk, tl],
                          spec.dih_par_tt[ti, tj, tk, tl])
@@ -201,7 +194,7 @@ def dihedral_energies(spec: SimSpec, dih_funcs, pos4, box, dihedrals: TermTable)
     return out
 
 
-def pair14_energies(spec: SimSpec, pos4, box, q, pairs14: TermTable):
+def pair14_energies(spec: SimSpec, rows4, box, q, pairs14: TermTable):
     """1-4 LJ (fudged) + truncated Coulomb pairs (ref: gromacs_topology.py:1314-1411).
 
     Entry params: [sigma, epsilon*fudgeLJ, cutoff^2, shift]; type-lookup rows
@@ -211,7 +204,8 @@ def pair14_energies(spec: SimSpec, pos4, box, q, pairs14: TermTable):
     valid = i >= 0
     i, j = jnp.maximum(i, 0), jnp.maximum(j, 0)
     par = pairs14.params
-    dr = _safe_vec(_min_image(pos4[i][:, :3] - pos4[j][:, :3], box), valid, 0)
+    dr = _safe_vec(_min_image(rows4[:, 0][:, :3] - rows4[:, 1][:, :3], box),
+                   valid, 0)
     r2 = jnp.sum(dr * dr, -1)
     m = valid & (r2 < par[:, 2])
     s2 = par[:, 0] ** 2 / r2
@@ -226,19 +220,44 @@ def bonded_energy_terms(spec: SimSpec, cfg, pos, box, type_id, q,
                         bonds, angles, dihedrals, pairs14):
     """All bonded energy terms as a dict of scalars."""
     out = {}
-    # packed [x, y, z, type] rows: each term index costs ONE 16-byte-row
-    # gather instead of a pos row gather + a type element gather
+    # packed [x, y, z, type] rows (one 16-byte-row gather per term index
+    # instead of a pos row gather + a type element gather), with EVERY
+    # family's indices concatenated into a single gather: the reverse-mode
+    # cotangent then accumulates through ONE scatter-add instead of one per
+    # endpoint per family (scatters serialize on v5e)
     pos4 = jnp.concatenate(
         [pos, _sg(type_id.astype(pos.dtype))[:, None]], axis=-1)
+    segs = []
     if cfg.bond_funcs:
-        out.update(bond_energies(spec, cfg.bond_funcs, pos4, box, bonds))
+        segs.append(("bonds", bonds.idx))
     if cfg.angle_funcs:
-        out.update(angle_energies(spec, cfg.angle_funcs, pos4, box, angles))
+        segs.append(("angles", angles.idx))
     if cfg.dihedral_funcs:
-        out.update(dihedral_energies(spec, cfg.dihedral_funcs, pos4, box,
-                                     dihedrals))
+        segs.append(("dihedrals", dihedrals.idx))
     if cfg.pair14_cap:
-        out.update(pair14_energies(spec, pos4, box, q, pairs14))
+        segs.append(("pairs14", pairs14.idx))
+    if not segs:
+        return out
+    idx_all = jnp.concatenate(
+        [jnp.maximum(idx, 0).reshape(-1) for _, idx in segs])
+    rows_all = pos4[idx_all]
+    parts = {}
+    off = 0
+    for name, idx in segs:
+        t, k = idx.shape
+        parts[name] = rows_all[off:off + t * k].reshape(t, k, 4)
+        off += t * k
+    if cfg.bond_funcs:
+        out.update(bond_energies(spec, cfg.bond_funcs, parts["bonds"], box,
+                                 bonds))
+    if cfg.angle_funcs:
+        out.update(angle_energies(spec, cfg.angle_funcs, parts["angles"],
+                                  box, angles))
+    if cfg.dihedral_funcs:
+        out.update(dihedral_energies(spec, cfg.dihedral_funcs,
+                                     parts["dihedrals"], box, dihedrals))
+    if cfg.pair14_cap:
+        out.update(pair14_energies(spec, parts["pairs14"], box, q, pairs14))
     return out
 
 

@@ -90,7 +90,7 @@ def test_dihedral_energy_goldens():
 
     # func 1: K (1 + cos(n phi - phi0)), K=2, phi0=0.3, n=2
     t = _dihedral_table(spec, [(0, 1, 2, 3)], [1], [[2.0, 0.3, 2.0]])
-    e = dihedral_energies(spec, (1,), pos4, st.box, t)
+    e = dihedral_energies(spec, (1,), pos4[jnp.maximum(t.idx, 0)], st.box, t)
     expect = 2.0 * (1 + math.cos(2 * phi - 0.3))
     assert float(e["dihedral_f1"]) == pytest.approx(expect, rel=1e-5)
 
@@ -98,12 +98,12 @@ def test_dihedral_energy_goldens():
     cpsi = math.cos(phi - math.pi)
     C = [1.0, 0.5, 0.25, 0.1, 0.05, 0.01]
     t = _dihedral_table(spec, [(0, 1, 2, 3)], [3], [C])
-    e = dihedral_energies(spec, (3,), pos4, st.box, t)
+    e = dihedral_energies(spec, (3,), pos4[jnp.maximum(t.idx, 0)], st.box, t)
     expect = sum(c * cpsi**n for n, c in enumerate(C))
     assert float(e["dihedral_f3"]) == pytest.approx(expect, rel=1e-4, abs=1e-5)
 
     # func 12: K wrap(phi - phi0)^2, K=1.5, phi0=0.2
     t = _dihedral_table(spec, [(0, 1, 2, 3)], [12], [[1.5, 0.2]])
-    e = dihedral_energies(spec, (12,), pos4, st.box, t)
+    e = dihedral_energies(spec, (12,), pos4[jnp.maximum(t.idx, 0)], st.box, t)
     expect = 1.5 * (phi - 0.2) ** 2
     assert float(e["dihedral_f12"]) == pytest.approx(expect, rel=1e-4)
