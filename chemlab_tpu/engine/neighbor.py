@@ -185,17 +185,34 @@ def build_neighbor_state(pos, box, active, excl_pairs, rc_skin, *, dims, cell_ca
     # lands in the junk row — never gathered (ncid indexes real cells only)
     plane4 = plane4.at[slot_of].set(
         jnp.concatenate([pos, pid1[:, None]], axis=-1))
-    plane4r = plane4.reshape(n_cells + 1, cell_cap * 4)
-    g = rows(plane4r[ncid].reshape(n_pad, -1))       # (N, S*cap*4), 1 gather
-    d2 = jnp.zeros((n_pad, g.shape[1] // 4), pos.dtype)
-    for ax in range(3):
-        d = g[:, ax::4] - pos[:, ax][:, None]
-        d -= box[ax] * jnp.round(d / box[ax])
-        d2 += d * d
-    d2 = rows(d2)
-    # id+1 channel: holes are 0 -> -1, exactly the old bucket padding; ids
-    # are exact in f32 up to 2^24 rows
-    cand = rows(g[:, 3::4].astype(I32) - 1)          # (N, S*cap)
+    import os as _os
+
+    if _os.environ.get("CHEMLAB_REBUILD") == "split":
+        # per-channel block gathers: 4x the gather rows but the fused
+        # (N, S*cap*4) plane is never held — the lower-peak-scratch form
+        # for very large N (the fused plane is ~1.7 GB at 100k, K-free)
+        plane4c = plane4.reshape(n_cells + 1, cell_cap, 4)
+        d2 = jnp.zeros((n_pad, ncid.shape[1] * cell_cap), pos.dtype)
+        for ax in range(3):
+            cand_ax = rows(plane4c[:, :, ax][ncid].reshape(n_pad, -1))
+            d = cand_ax - pos[:, ax][:, None]
+            d -= box[ax] * jnp.round(d / box[ax])
+            d2 += d * d
+        d2 = rows(d2)
+        cand = rows(plane4c[:, :, 3][ncid].reshape(n_pad, -1)
+                    .astype(I32) - 1)
+    else:
+        plane4r = plane4.reshape(n_cells + 1, cell_cap * 4)
+        g = rows(plane4r[ncid].reshape(n_pad, -1))   # (N, S*cap*4), 1 gather
+        d2 = jnp.zeros((n_pad, g.shape[1] // 4), pos.dtype)
+        for ax in range(3):
+            d = g[:, ax::4] - pos[:, ax][:, None]
+            d -= box[ax] * jnp.round(d / box[ax])
+            d2 += d * d
+        d2 = rows(d2)
+        # id+1 channel: holes are 0 -> -1, exactly the old bucket padding;
+        # ids are exact in f32 up to 2^24 rows
+        cand = rows(g[:, 3::4].astype(I32) - 1)      # (N, S*cap)
     cand_safe = jnp.maximum(cand, 0)
 
     self_idx = jnp.arange(n_pad, dtype=I32)
