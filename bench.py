@@ -91,6 +91,12 @@ def _bench_melt(n_mols, want_pallas, n_blocks, block_steps):
     spec, cfg = built.spec, built.cfg
     state = runner.initial_forces(spec, cfg, built.state)
     state = testsystems.warmup(built, state, steps=600)
+    if not os.environ.get("BENCH_NO_RETUNE"):
+        # post-equilibration capacity retune (the CLI's --retune_caps):
+        # build-time caps are sized for the packed start; the equilibrated
+        # fluid runs 2-5x leaner tiles, and overflow + regrowth remains the
+        # backstop if the melt densifies later
+        cfg, state = build_mod.shrink_neighbor_caps(cfg, spec, state)
     state = testsystems.activate_initiators(built, systop, state,
                                             n=max(cfg.n_particles // 300, 4))
 
