@@ -187,7 +187,15 @@ def build_neighbor_state(pos, box, active, excl_pairs, rc_skin, *, dims, cell_ca
         jnp.concatenate([pos, pid1[:, None]], axis=-1))
     import os as _os
 
-    if _os.environ.get("CHEMLAB_REBUILD") == "split":
+    mode = _os.environ.get("CHEMLAB_REBUILD", "")
+    if not mode:
+        # the fused plane holds N * S * cap * 16 bytes of scratch (1.7 GB
+        # at 100k); beyond ~3 GB fall back to per-channel gathers rather
+        # than risk the HBM peak (shapes are static, so this is a
+        # compile-time choice)
+        fused_bytes = n_pad * offsets.shape[0] * cell_cap * 16
+        mode = "fused" if fused_bytes < 3e9 else "split"
+    if mode == "split":
         # per-channel block gathers: 4x the gather rows but the fused
         # (N, S*cap*4) plane is never held — the lower-peak-scratch form
         # for very large N (the fused plane is ~1.7 GB at 100k, K-free)
