@@ -91,11 +91,11 @@ def _kernel(*refs,
     box_ref = refs[1 + n_stencil]
     sig_ref, eps_ref, cut2_ref, shift_ref, islj_ref = \
         refs[2 + n_stencil:7 + n_stencil]
-    force_ref = refs[7 + n_stencil]           # out (1, 4, cap) — axes-major:
-                                              # Mosaic has no scatter-add, so
-                                              # the accumulate is a full-tile
-                                              # stacked add, not .at[:, ax]
-    energy_ref = refs[8 + n_stencil]          # out (1, 2, cap) [lj, virial]
+    out_ref = refs[7 + n_stencil]             # out (1, cap, 8) slot-major
+                                              # [fx, fy, fz, e/2, w/2, 0,0,0]:
+                                              # one 32-byte row per slot so
+                                              # the epilogue is ONE row
+                                              # gather through slot_of
 
     xi = cpos_ref[0]                          # (cap, 4): xyz + (type+1|0)
     xj = jnp.concatenate([r[0] for r in npos_refs], axis=0)   # (S*cap, 4)
@@ -162,12 +162,14 @@ def _kernel(*refs,
     f_lj = jnp.where(in_cut, 48.0 * eps * (s6 * s6 - 0.5 * s6) / r2c, 0.0)
 
     fxyz = [jnp.sum(f_lj * d, axis=1) for d in dr]
-    force_ref[0] = jnp.stack(
-        [fxyz[0], fxyz[1], fxyz[2], jnp.zeros_like(fxyz[0])], axis=0)
-    energy_ref[0, 0] = 0.5 * jnp.sum(e_lj, axis=1)
+    e_half = 0.5 * jnp.sum(e_lj, axis=1)
     # pair virial W = sum r.F = sum (F/r) r^2 — makes NPT runnable on the
     # fast path (the strain-derivative virial needs per-step Verlet rows)
-    energy_ref[0, 1] = 0.5 * jnp.sum(f_lj * r2s, axis=1)
+    w_half = 0.5 * jnp.sum(f_lj * r2s, axis=1)
+    zero = jnp.zeros_like(e_half)
+    out_ref[0] = jnp.stack(
+        [fxyz[0], fxyz[1], fxyz[2], e_half, w_half, zero, zero, zero],
+        axis=1)
 
 
 def _packet_kernel(*refs, cap: int, n_types_pad: int, n_stencil: int,
@@ -1212,37 +1214,26 @@ def cell_pair_forces(pos, type_id, active, box, buckets, dims, spec,
         functools.partial(_kernel, cap=cap, n_types_pad=tpad,
                           n_stencil=n_stencil, uniform_lj=uniform_lj),
         grid_spec=pltpu_grid(n_cells, cap, tpad, dims, offsets),
-        out_shape=(
-            jax.ShapeDtypeStruct((n_cells, 4, cap), jnp.float32),
-            jax.ShapeDtypeStruct((n_cells, 2, cap), jnp.float32),
-        ),
+        out_shape=jax.ShapeDtypeStruct((n_cells, cap, 8), jnp.float32),
         interpret=interpret,
     )
-    force_c, energy_c = call(
-        cpos, *([cpos] * n_stencil), box4, *params)
+    out_c = call(cpos, *([cpos] * n_stencil), box4, *params)
+    flat = out_c.reshape(n_cells * cap, 8)
 
     # epilogue: every particle lives in exactly ONE slot, so the force
-    # comes back by the slot_of inverse map — three (N,) per-axis gathers
-    # (the (C*cap, 3)-minor transpose form risks the T(8,128) padded
-    # layout) instead of a C*cap-row scatter-add.  Invalid slots computed
-    # zero already (tv=0 gates them in-kernel), so energies are plain sums.
+    # comes back by the slot_of inverse map — ONE (N,) 32-byte-row gather
+    # instead of a C*cap-row scatter-add.  Invalid slots computed zero
+    # already (tv=0 gates them in-kernel), so energies are plain sums.
     if slot_of is not None:
         in_grid = slot_of < n_cells * cap
-        slot_c = jnp.where(in_grid, slot_of, 0)
-        c = slot_c // cap
-        p = slot_c - c * cap
-        force = jnp.stack(
-            [jnp.where(in_grid, force_c[:, ax, :][c, p], 0.0)
-             for ax in range(3)], axis=-1)
+        rows_f = flat[jnp.where(in_grid, slot_of, 0)]       # (N, 8)
+        force = jnp.where(in_grid[:, None], rows_f[:, :3], 0.0)
     else:
         force = jnp.zeros((n, 3), pos.dtype)
         flat_rows = jnp.where(buckets[:n_cells] >= 0, rows, n).reshape(-1)
-        force = force.at[flat_rows].add(
-            force_c[:, :3, :].transpose(0, 2, 1).reshape(-1, 3), mode="drop")
-    e = energy_c[:, 0].reshape(-1)
-    w = energy_c[:, 1].reshape(-1)
+        force = force.at[flat_rows].add(flat[:, :3], mode="drop")
     zero = jnp.asarray(0.0, pos.dtype)
-    return force, jnp.sum(e), zero, jnp.sum(w)
+    return force, jnp.sum(flat[:, 3]), zero, jnp.sum(flat[:, 4])
 
 
 def pltpu_grid(n_cells, cap, tpad, dims, offsets):
@@ -1282,10 +1273,7 @@ def pltpu_grid(n_cells, cap, tpad, dims, offsets):
             + [bs((1, 4), rep2)]
             + [bs((tpad, tpad), rep2)] * 5
         ),
-        out_specs=(
-            bs((1, 4, cap), cell_map),
-            bs((1, 2, cap), cell_map),
-        ),
+        out_specs=bs((1, cap, 8), cell_map),
     )
 
 
