@@ -879,7 +879,7 @@ def _colt_kernel(*refs, cap: int, n_types_pad: int, nz: int,
 
 def cell_pair_forces_colt(pos, type_id, active, box, buckets, dims, spec,
                           n_types: int, cap: int, interpret: bool = False,
-                          uniform_lj: bool = False):
+                          uniform_lj: bool = False, slot_of=None):
     """Transpose-once column kernel (see _colt_kernel).  Same contract as
     cell_pair_forces (UNexcluded all-pairs sum); requires min(dims) >= 3
     (full 27-stencil) and cap % 8 == 0 — callers gate and fall back."""
@@ -892,19 +892,33 @@ def cell_pair_forces_colt(pos, type_id, active, box, buckets, dims, spec,
     nx, ny, nz = (int(d) for d in dims)
     n_cells = nx * ny * nz
     n = pos.shape[0]
-    rows = jnp.maximum(buckets[:n_cells], 0)                # (C, cap)
-    slot_valid = (buckets[:n_cells] >= 0) & active[rows]
-    cpos8 = jnp.concatenate(
-        [pos[rows],
-         slot_valid[..., None].astype(pos.dtype),
-         jnp.where(slot_valid, type_id[rows], 0).astype(pos.dtype)[..., None],
-         jnp.zeros(rows.shape + (3,), pos.dtype)], axis=-1)  # (C, cap, 8)
+    if slot_of is not None:
+        # scatter N packed rows into zeros (holes: valid=0) — same
+        # discipline as the default kernel's wrapper
+        packed8 = jnp.concatenate(
+            [pos, jnp.where(active, 1.0, 0.0)[:, None].astype(pos.dtype),
+             type_id.astype(pos.dtype)[:, None],
+             jnp.zeros((n, 3), pos.dtype)], axis=-1)        # (N, 8)
+        cpos8 = jnp.zeros((n_cells * cap, 8), pos.dtype).at[slot_of].set(
+            packed8, mode="drop").reshape(n_cells, cap, 8)
+    else:
+        rows = jnp.maximum(buckets[:n_cells], 0)            # (C, cap)
+        slot_valid = (buckets[:n_cells] >= 0) & active[rows]
+        cpos8 = jnp.concatenate(
+            [pos[rows],
+             slot_valid[..., None].astype(pos.dtype),
+             jnp.where(slot_valid, type_id[rows],
+                       0).astype(pos.dtype)[..., None],
+             jnp.zeros(rows.shape + (3,), pos.dtype)], axis=-1)
     cols8 = cpos8.reshape(nx * ny, nz * cap, 8)
     # z-halo: [last cell | column | first cell] so every stencil window is
     # one contiguous lane slice after the in-kernel transpose
     cols8h = jnp.concatenate(
         [cols8[:, -cap:], cols8, cols8[:, :cap]], axis=1)    # (CC, (nz+2)cap, 8)
-    counts = jnp.sum(slot_valid, axis=1, dtype=I32).reshape(nx * ny, 1, nz)
+    # real bins hold only active particles, filled from rank 0 — occupancy
+    # gates the packet loop exactly in both operand-build branches
+    counts = jnp.sum(buckets[:n_cells] >= 0, axis=1,
+                     dtype=I32).reshape(nx * ny, 1, nz)
     box8 = jnp.concatenate([box, jnp.ones(5, box.dtype)])[None, :]
 
     tpad = max(8, -(-n_types // 8) * 8)
@@ -955,15 +969,19 @@ def cell_pair_forces_colt(pos, type_id, active, box, buckets, dims, spec,
         interpret=interpret,
     )
     out_c = call(counts, cols8h, *([cols8hT] * n_cols_u), box8, *params)
-    force = jnp.zeros((n, 3), pos.dtype)
-    flat_rows = jnp.where(slot_valid, rows, n).reshape(-1)
-    force = force.at[flat_rows].add(out_c[..., :3].reshape(-1, 3),
-                                    mode="drop")
-    sv = slot_valid.reshape(-1)
-    e = jnp.where(sv, out_c[..., 3].reshape(-1), 0.0)
-    w = jnp.where(sv, out_c[..., 4].reshape(-1), 0.0)
+    out_flat = out_c.reshape(nx * ny * nz * cap, 8)
+    if slot_of is not None:
+        # out_c's (nx*ny, nz*cap, 8) flat order is (cid // nz)*nz*cap +
+        # (cid % nz)*cap + p == cid*cap + p — exactly slot_of's indexing
+        in_grid = slot_of < n_cells * cap
+        rows_f = out_flat[jnp.where(in_grid, slot_of, 0)]    # (N, 8)
+        force = jnp.where(in_grid[:, None], rows_f[:, :3], 0.0)
+    else:
+        force = jnp.zeros((n, 3), pos.dtype)
+        flat_rows = jnp.where(slot_valid, rows, n).reshape(-1)
+        force = force.at[flat_rows].add(out_flat[:, :3], mode="drop")
     zero = jnp.asarray(0.0, pos.dtype)
-    return force, jnp.sum(e), zero, jnp.sum(w)
+    return force, jnp.sum(out_flat[:, 3]), zero, jnp.sum(out_flat[:, 4])
 
 
 def cell_pair_forces_columns(pos, type_id, active, box, buckets, dims, spec,
@@ -1164,7 +1182,7 @@ def cell_pair_forces(pos, type_id, active, box, buckets, dims, spec,
         return cell_pair_forces_colt(pos, type_id, active, box, buckets,
                                      dims, spec, n_types, cap,
                                      interpret=interpret,
-                                     uniform_lj=uniform_lj)
+                                     uniform_lj=uniform_lj, slot_of=slot_of)
     if choice == "packet" and cap % 8 == 0:
         return cell_pair_forces_packets(pos, type_id, active, box, buckets,
                                         dims, spec, n_types, cap,

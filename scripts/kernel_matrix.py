@@ -37,7 +37,8 @@ def kfn(kind):
     elif kind == "colt":
         f = lambda s: pallas_pair.cell_pair_forces_colt(
             s.pos, s.type_id, s.active, s.box, s.nbr.buckets, cfg.cell_dims,
-            spec, cfg.n_types, cfg.cell_cap, uniform_lj=cfg.uniform_lj)[0]
+            spec, cfg.n_types, cfg.cell_cap, uniform_lj=cfg.uniform_lj,
+            slot_of=s.nbr.slot_of)[0]
     elif kind == "colz":
         f = lambda s: pallas_pair.cell_pair_forces_columns(
             s.pos, s.type_id, s.active, s.box, s.nbr.buckets, cfg.cell_dims,

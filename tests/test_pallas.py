@@ -149,3 +149,30 @@ def test_md_step_with_pallas_path(melt):
     b = integrate.md_step(spec, cfg_p, st)
     np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos), atol=1e-5)
     np.testing.assert_allclose(np.asarray(a.vel), np.asarray(b.vel), atol=2e-3)
+
+
+def test_colt_kernel_matches_cell_kernel():
+    """The transpose-once column kernel ('colt') agrees with the per-cell
+    kernel to f32 rounding (its per-column partial sums group candidates
+    differently, so bitwise equality is not expected), with both the
+    slot_of and the legacy scatter epilogues."""
+    built, _, _ = testsystems.build_melt(n_mols=100, reactive=False, seed=5)
+    st = runner.initial_forces(built.spec, built.cfg, built.state)
+    st = testsystems.warmup(built, st, steps=50)
+    spec, cfg = built.spec, built.cfg
+    if cfg.cell_cap % 8 != 0 or min(int(d) for d in cfg.cell_dims) < 3:
+        pytest.skip("colt needs cap%8==0 and a full 27-stencil grid")
+    args = (st.pos, st.type_id, st.active, st.box, st.nbr.buckets,
+            cfg.cell_dims, spec, cfg.n_types, cfg.cell_cap)
+    f_old, e_old, _, w_old = pallas_pair.cell_pair_forces(*args,
+                                                          interpret=True,
+                                                          packets=False)
+    for so in (st.nbr.slot_of, None):
+        f_new, e_new, _, w_new = pallas_pair.cell_pair_forces_colt(
+            *args, interpret=True, slot_of=so)
+        assert float(e_new) == pytest.approx(float(e_old), rel=1e-5)
+        assert float(w_new) == pytest.approx(float(w_old), rel=1e-5)
+        fo = np.asarray(f_old)
+        fn = np.asarray(f_new)
+        scale = np.maximum(np.abs(fo).max(), 1.0)
+        assert np.max(np.abs(fo - fn)) / scale < 1e-5
