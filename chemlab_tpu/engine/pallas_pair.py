@@ -889,12 +889,14 @@ def cell_pair_forces_colt(pos, type_id, active, box, buckets, dims, spec,
     global pl
     pl = pl_mod
 
+    import os
+
     nx, ny, nz = (int(d) for d in dims)
     n_cells = nx * ny * nz
     n = pos.shape[0]
-    if slot_of is not None:
-        # scatter N packed rows into zeros (holes: valid=0) — same
-        # discipline as the default kernel's wrapper
+    if slot_of is not None and os.environ.get("CHEMLAB_DENSE") == "scatter":
+        # scatter N packed rows into zeros (holes: valid=0) — opt-in; the
+        # masked gather build measured faster on v5e (see cell_pair_forces)
         packed8 = jnp.concatenate(
             [pos, jnp.where(active, 1.0, 0.0)[:, None].astype(pos.dtype),
              type_id.astype(pos.dtype)[:, None],
@@ -1161,13 +1163,17 @@ def cell_pair_forces(pos, type_id, active, box, buckets, dims, spec,
         elif packets:
             choice = "packet"
     if not choice:
-        # Measured on v5e (10k melt): the per-cell kernel is DMA-latency
-        # bound (~11 us/program), the packet variant trades fewer row slots
-        # for more programs at par, and the resident variant's (C, cap, 8)
-        # operand lane-pads 8 -> 128 in VMEM (16x) and OOMs scoped vmem.
-        # Default to the proven per-cell kernel; the variants stay
-        # selectable (CHEMLAB_KERNEL=packet|resident) for tuning.
-        choice = "cell"
+        # Measured on v5e (TPU_NUMBERS_r04 kernel matrix): at 10k/1331 cells
+        # the per-cell kernel wins (3.14 vs 3.49 ms); at 100k/13824 cells the
+        # transpose-once column kernel is 11% faster (40.8 vs 45.7 ms) —
+        # fatter programs with occupancy-gated row packets pay off once the
+        # grid is thousands of cells.  The variants stay selectable
+        # (CHEMLAB_KERNEL=cell|colt|packet|column|resident) for tuning.
+        if (int(np.prod(dims)) >= 4096 and cap % 8 == 0
+                and min(int(d) for d in dims) >= 3):
+            choice = "colt"
+        else:
+            choice = "cell"
     if choice == "resident" and cap % 8 == 0:
         return cell_pair_forces_resident(pos, type_id, active, box, buckets,
                                          dims, spec, n_types, cap,
@@ -1201,11 +1207,12 @@ def cell_pair_forces(pos, type_id, active, box, buckets, dims, spec,
     # rows up to 16 bytes cost the same as one element)
     tv = jnp.where(active, type_id + 1, 0).astype(pos.dtype)
     packed = jnp.concatenate([pos, tv[:, None]], axis=-1)   # (N, 4)
-    if slot_of is not None and os.environ.get("CHEMLAB_DENSE") != "gather":
-        # scatter N rows into zeros instead of gathering C*cap rows: holes
-        # stay tv=0 (invalid), inactive/dropped particles carry the
-        # out-of-range sentinel and drop — identical semantics to the
-        # masked gather with cap/occupancy-times fewer rows moved
+    if slot_of is not None and os.environ.get("CHEMLAB_DENSE") == "scatter":
+        # scatter N rows into zeros instead of gathering C*cap rows — fewer
+        # rows moved, but measured SLOWER than the masked gather on v5e
+        # (100k: 45.7 vs 43.2 ms kernel call, 1.52M vs 1.58M pps fused;
+        # 10k: tie) — the scatter's zero-init + serialization outweighs the
+        # row-count saving, so the gather build is the default
         cpos = jnp.zeros((n_cells * cap, 4), pos.dtype).at[slot_of].set(
             packed, mode="drop").reshape(n_cells, cap, 4)
     else:

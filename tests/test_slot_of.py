@@ -1,9 +1,11 @@
 """slot_of invariants: the (N,) inverse of the cell-bucket scatter, and the
 equivalence of the scatter-built and gather-built cell-dense operands.
 
-The pallas fast path's wrapper relies on both (pallas_pair.cell_pair_forces):
-forces come back through slot_of instead of a scatter-add, and the packed
-(C, cap, 4) operand is built by scattering particle rows into zeros.
+The pallas fast path's wrapper relies on slot_of for its epilogue
+(pallas_pair.cell_pair_forces): forces come back through slot_of instead of
+a scatter-add.  The packed (C, cap, 4) operand is gather-built by default
+(measured faster on v5e); CHEMLAB_DENSE=scatter opts into the
+scatter-into-zeros build, which must stay bit-identical.
 """
 
 import os
@@ -69,7 +71,8 @@ def test_scatter_dense_equals_masked_gather():
 
 
 def test_dense_mode_forces_identical():
-    """The CHEMLAB_DENSE=gather legacy build gives bit-identical forces."""
+    """CHEMLAB_DENSE=scatter (opt-in) is bit-identical to the default
+    masked-gather operand build."""
     from chemlab_tpu import testsystems
     from chemlab_tpu.engine import pallas_pair, runner
 
@@ -86,9 +89,9 @@ def test_dense_mode_forces_identical():
 
     old = os.environ.pop("CHEMLAB_DENSE", None)
     try:
+        f_g, e_g, _, w_g = call()          # default: masked-gather build
+        os.environ["CHEMLAB_DENSE"] = "scatter"
         f_sc, e_sc, _, w_sc = call()
-        os.environ["CHEMLAB_DENSE"] = "gather"
-        f_g, e_g, _, w_g = call()
     finally:
         os.environ.pop("CHEMLAB_DENSE", None)
         if old is not None:
