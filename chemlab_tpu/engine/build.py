@@ -842,10 +842,13 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
     n_pad = _round_up(max(n, 128), 128)
     has_reactions = compiled is not None and compiled.n_reactions > 0
     # Reactive headroom: every padded term row costs gathers + AD scatters in
-    # the per-step bonded pass (433k angle rows for 33k real angles measured
-    # 0.086 s/step at 100k), so start at a modest n/8 slice and rely on the
-    # driver's proactive grow_term_caps regrowth as conversion proceeds.
-    extra_default = _round_up(max(n // 8, 1024), 128) if has_reactions else 0
+    # the per-step bonded pass, and every padded exclusion row the same in
+    # the excluded-pair correction (at 100k the old n/8 slice put 50k dead
+    # angle rows and 100k dead exclusion rows on the gather wall, ~7 ms of
+    # the 66 ms step).  Start at a thin n/32 slice; term_caps_near_full +
+    # grow_term_caps (start_simulation block loop) regrow proactively as
+    # conversion proceeds, and append-overflow flags are the backstop.
+    extra_default = _round_up(max(n // 32, 512), 128) if has_reactions else 0
     extra_b = opts.extra_bonds if opts.extra_bonds is not None else extra_default
     extra_a = opts.extra_angles if opts.extra_angles is not None else 4 * extra_b
     extra_d = opts.extra_dihedrals if opts.extra_dihedrals is not None else (

@@ -146,7 +146,8 @@ def virial_pressure(spec: SimSpec, cfg: EngineConfig, state: MDState):
             state.pos, state.type_id, state.active, state.box,
             state.nbr.buckets, cfg.cell_dims, spec,
             cfg.n_types, cfg.cell_cap, interpret=interpret,
-            uniform_lj=cfg.uniform_lj, slot_of=state.nbr.slot_of)
+            uniform_lj=cfg.uniform_lj, slot_of=state.nbr.slot_of,
+            want_virial=True)
         _, _, _, w_ex = pallas_pair.excluded_pair_correction(
             spec, cfg.n_types, state.pos, state.box, state.type_id,
             state.excl, active=state.active, has_tab=cfg.has_tabulated)

@@ -68,7 +68,7 @@ def stencil_table(dims) -> np.ndarray:
 
 def _kernel(*refs,
             cap: int, n_types_pad: int, n_stencil: int,
-            uniform_lj: bool = False):
+            uniform_lj: bool = False, want_virial: bool = False):
     """Grid is (n_cells,): ONE program per cell computes the full
     (cap, S*cap) candidate tile — S*cap lanes keep the 128-lane VPU filled
     (a per-(cell, stencil) grid wastes >half the lanes on cap-wide tiles).
@@ -84,18 +84,26 @@ def _kernel(*refs,
     gathers were the measured bound of every kernel variant at 100k.
 
     refs layout: cpos, S x npos, box, sig, eps, cut2, shift, islj,
-                 force_out, energy_out.
+                 force_out.
     """
     cpos_ref = refs[0]
     npos_refs = refs[1:1 + n_stencil]
     box_ref = refs[1 + n_stencil]
     sig_ref, eps_ref, cut2_ref, shift_ref, islj_ref = \
         refs[2 + n_stencil:7 + n_stencil]
-    out_ref = refs[7 + n_stencil]             # out (1, cap, 8) slot-major
-                                              # [fx, fy, fz, e/2, w/2, 0,0,0]:
-                                              # one 32-byte row per slot so
-                                              # the epilogue is ONE row
-                                              # gather through slot_of
+    out_ref = refs[7 + n_stencil]             # out (1, cap, 4) slot-major
+                                              # [fx, fy, fz, e/2|w/2]: one
+                                              # 16-byte row per slot so the
+                                              # epilogue gather through
+                                              # slot_of costs ONE unit per
+                                              # particle (32-byte rows
+                                              # measured 2x: 4.0 vs 2.0 ms
+                                              # at 100k).  Channel 3 carries
+                                              # the pair energy by default
+                                              # and the pair virial under
+                                              # want_virial — each call site
+                                              # (force pass / pressure pass)
+                                              # needs only one of the two
 
     xi = cpos_ref[0]                          # (cap, 4): xyz + (type+1|0)
     xj = jnp.concatenate([r[0] for r in npos_refs], axis=0)   # (S*cap, 4)
@@ -166,10 +174,8 @@ def _kernel(*refs,
     # pair virial W = sum r.F = sum (F/r) r^2 — makes NPT runnable on the
     # fast path (the strain-derivative virial needs per-step Verlet rows)
     w_half = 0.5 * jnp.sum(f_lj * r2s, axis=1)
-    zero = jnp.zeros_like(e_half)
-    out_ref[0] = jnp.stack(
-        [fxyz[0], fxyz[1], fxyz[2], e_half, w_half, zero, zero, zero],
-        axis=1)
+    ch3 = w_half if want_virial else e_half
+    out_ref[0] = jnp.stack([fxyz[0], fxyz[1], fxyz[2], ch3], axis=1)
 
 
 def _packet_kernel(*refs, cap: int, n_types_pad: int, n_stencil: int,
@@ -760,7 +766,7 @@ def _colz_kernel(*refs, cap: int, n_types_pad: int, nz: int,
 
 def _colt_kernel(*refs, cap: int, n_types_pad: int, nz: int,
                  self_col: int, n_cols_u: int, n_packets: int,
-                 uniform_lj: bool = False):
+                 uniform_lj: bool = False, want_virial: bool = False):
     """Transpose-once column kernel ("colt"): the measured bound of every
     streamed variant is the per-z sublane->lane channel transpose of the
     candidate tile (xj[:, ax][None, :] on a (S*cap, 8) slice, repeated for
@@ -779,9 +785,10 @@ def _colt_kernel(*refs, cap: int, n_types_pad: int, nz: int,
 
     refs: counts (SMEM (1, 1, nz)), n_cols_u x haloed column
           (1, (nz+2)*cap, 8) [x,y,z,valid,type,0,0,0], box (1, 8),
-          sig, eps, cut2, shift, islj, out (1, nz*cap, 8)
-          [fx, fy, fz, e/2, w/2, 0, 0, 0]; scratch: n_cols_u x
-          (8, (nz+2)*cap) f32.
+          sig, eps, cut2, shift, islj, out (1, nz*cap, 4)
+          [fx, fy, fz, e/2|w/2] (16-byte rows halve the slot_of epilogue
+          gather; channel 3 is energy by default, virial under
+          want_virial); scratch: n_cols_u x (8, (nz+2)*cap) f32.
     """
     counts_ref = refs[0]
     self_ref = refs[1]                                # (1, (nz+2)*cap, 8)
@@ -872,14 +879,125 @@ def _colt_kernel(*refs, cap: int, n_types_pad: int, nz: int,
                     es = es + 0.5 * jnp.sum(e_lj, axis=1)
                     ws = ws + 0.5 * jnp.sum(f_lj * r2s, axis=1)
 
-                out8 = jnp.stack([fx, fy, fz, es, ws] +
-                                 [jnp.zeros_like(fx)] * 3, axis=1)   # (8, 8)
-                out_ref[0, z * cap + p * 8:z * cap + (p + 1) * 8, :] = out8
+                out4 = jnp.stack([fx, fy, fz, ws if want_virial else es],
+                                 axis=1)                             # (8, 4)
+                out_ref[0, z * cap + p * 8:z * cap + (p + 1) * 8, :] = out4
+
+
+def _colt2_kernel(*refs, cap: int, n_types_pad: int, nz: int,
+                  self_col: int, n_cols_u: int, n_packets: int,
+                  uniform_lj: bool = False, want_virial: bool = False):
+    """Rolled variant of _colt_kernel.
+
+    The original colt kernel fully unrolls nz x n_packets x n_cols_u tile
+    bodies (~1000 inlined (8, 3cap) tiles at 100k) and gates dead packets
+    with pl.when — measured ~8x above the VPU op-count floor, i.e. bound by
+    the instruction stream, not the data.  This variant:
+
+      - concatenates the 9 per-z windows ONCE into a single (8, 9*3cap)
+        candidate tile (one tile body per packet instead of 9, one lane
+        reduction per output instead of 9 partial sums), and
+      - replaces the unrolled, pl.when-gated packet loop with a
+        lax.fori_loop over ceil(count/8) packets whose body uses dynamic
+        SUBLANE slices/writes (cheap on TPU, unlike lane ones), so dead
+        packets cost nothing and the loop body is emitted once per z.
+
+    Same operands and contract as _colt_kernel; candidate grouping differs
+    again (one (8, 9W) reduction), so agreement with the cell kernel stays
+    at f32-rounding level, which the excluded-pair correction contract
+    permits (per-pair op sequence is unchanged).
+    """
+    counts_ref = refs[0]
+    self_ref = refs[1]                                # (1, (nz+2)*cap, 8)
+    colt_refs = refs[2:2 + n_cols_u]                  # (1, 8, (nz+2)*cap)
+    box_ref = refs[2 + n_cols_u]
+    sig_ref, eps_ref, cut2_ref, shift_ref, islj_ref = \
+        refs[3 + n_cols_u:8 + n_cols_u]
+    out_ref = refs[8 + n_cols_u]
+
+    out_ref[...] = jnp.zeros_like(out_ref)
+    box = box_ref[0]
+    W = 3 * cap
+    L = n_cols_u * W
+
+    for z in range(nz):
+        lo = z * cap                                   # haloed window start
+        xj = jnp.concatenate(
+            [colt_refs[k][0, :, lo:lo + W] for k in range(n_cols_u)],
+            axis=1)                                    # (8ch, L)
+        if not uniform_lj:
+            iota_t = jax.lax.broadcasted_iota(
+                I32, (n_types_pad, L), 0).astype(jnp.float32)
+            tj_oh_t = (xj[4][None, :] == iota_t).astype(jnp.float32)
+        else:
+            tj_oh_t = None
+        npk = (counts_ref[0, 0, z] + 7) // 8
+
+        def body(p, carry, z=z, xj=xj, tj_oh_t=tj_oh_t):
+            r0 = (z + 1) * cap + p * 8                 # haloed self rows
+            xi = self_ref[0, pl.ds(r0, 8), :]          # (8, 8)
+
+            dr = []
+            r2 = jnp.zeros((8, L), jnp.float32)
+            for ax in range(3):
+                d = xi[:, ax][:, None] - xj[ax][None, :]
+                d = d - box[ax] * jnp.round(d / box[ax])
+                dr.append(d)
+                r2 = r2 + d * d
+
+            valid = (xi[:, 3][:, None] > 0.5) & (xj[3][None, :] > 0.5)
+            valid &= r2 > 1e-12
+            r2s = jnp.where(valid, r2, 1.0)
+
+            if uniform_lj:
+                sig = sig_ref[0, 0]
+                eps = eps_ref[0, 0]
+                cut2 = cut2_ref[0, 0]
+                shift = shift_ref[0, 0]
+                in_cut = valid & (r2s < cut2)
+            else:
+                iota_i = jax.lax.broadcasted_iota(
+                    I32, (8, n_types_pad), 1).astype(jnp.float32)
+                ti_oh = (xi[:, 4][:, None] == iota_i).astype(jnp.float32)
+
+                def lut(m_ref):
+                    return jnp.dot(
+                        ti_oh,
+                        jnp.dot(m_ref[...], tj_oh_t,
+                                preferred_element_type=jnp.float32),
+                        preferred_element_type=jnp.float32)
+
+                sig = lut(sig_ref)
+                eps = lut(eps_ref)
+                cut2 = lut(cut2_ref)
+                shift = lut(shift_ref)
+                in_cut = valid & (r2s < cut2) & (lut(islj_ref) > 0.5)
+
+            # identical per-pair op sequence to _kernel /
+            # excluded_pair_correction (0.75-sigma soft core)
+            r2c = jnp.maximum(r2s, 0.5625 * (sig * sig))
+            s2 = (sig * sig) / r2c
+            s6 = s2 * s2 * s2
+            e_lj = jnp.where(in_cut,
+                             4.0 * eps * (s6 * s6 - s6) - shift, 0.0)
+            f_lj = jnp.where(in_cut,
+                             48.0 * eps * (s6 * s6 - 0.5 * s6) / r2c, 0.0)
+
+            fx = jnp.sum(f_lj * dr[0], axis=1)
+            fy = jnp.sum(f_lj * dr[1], axis=1)
+            fz = jnp.sum(f_lj * dr[2], axis=1)
+            ch3 = 0.5 * jnp.sum(f_lj * r2s if want_virial else e_lj, axis=1)
+            out4 = jnp.stack([fx, fy, fz, ch3], axis=1)          # (8, 4)
+            out_ref[0, pl.ds(z * cap + p * 8, 8), :] = out4
+            return carry
+
+        jax.lax.fori_loop(0, npk, body, 0)
 
 
 def cell_pair_forces_colt(pos, type_id, active, box, buckets, dims, spec,
                           n_types: int, cap: int, interpret: bool = False,
-                          uniform_lj: bool = False, slot_of=None):
+                          uniform_lj: bool = False, slot_of=None,
+                          want_virial: bool = False, impl: str = "colt2"):
     """Transpose-once column kernel (see _colt_kernel).  Same contract as
     cell_pair_forces (UNexcluded all-pairs sum); requires min(dims) >= 3
     (full 27-stencil) and cap % 8 == 0 — callers gate and fall back."""
@@ -904,13 +1022,20 @@ def cell_pair_forces_colt(pos, type_id, active, box, buckets, dims, spec,
         cpos8 = jnp.zeros((n_cells * cap, 8), pos.dtype).at[slot_of].set(
             packed8, mode="drop").reshape(n_cells, cap, 8)
     else:
+        # ONE packed 16-byte-row gather (same expression as the cell
+        # kernel's wrapper, so XLA CSE shares it within a step); the valid
+        # and type channels are derived from the packed type+1|0 channel
+        # with elementwise ops instead of two further (C, cap) gathers
         rows = jnp.maximum(buckets[:n_cells], 0)            # (C, cap)
-        slot_valid = (buckets[:n_cells] >= 0) & active[rows]
+        tv_all = jnp.where(active, type_id + 1, 0).astype(pos.dtype)
+        packed = jnp.concatenate([pos, tv_all[:, None]], axis=-1)   # (N, 4)
+        g = jnp.where((buckets[:n_cells] >= 0)[..., None], packed[rows], 0.0)
+        tv = g[..., 3]
+        slot_valid = tv > 0.5            # bucket-valid AND active, by packing
         cpos8 = jnp.concatenate(
-            [pos[rows],
-             slot_valid[..., None].astype(pos.dtype),
-             jnp.where(slot_valid, type_id[rows],
-                       0).astype(pos.dtype)[..., None],
+            [g[..., :3],
+             (tv > 0.5).astype(pos.dtype)[..., None],
+             jnp.maximum(tv - 1.0, 0.0)[..., None],
              jnp.zeros(rows.shape + (3,), pos.dtype)], axis=-1)
     cols8 = cpos8.reshape(nx * ny, nz * cap, 8)
     # z-halo: [last cell | column | first cell] so every stencil window is
@@ -960,30 +1085,35 @@ def cell_pair_forces_colt(pos, type_id, active, box, buckets, dims, spec,
         + [bs((1, 8), lambda c: (0, 0))]
         + [bs((tpad, tpad), lambda c: (0, 0))] * 5
     )
+    kfn = _colt2_kernel if impl == "colt2" else _colt_kernel
     call = pl_mod.pallas_call(
-        functools.partial(_colt_kernel, cap=cap, n_types_pad=tpad,
+        functools.partial(kfn, cap=cap, n_types_pad=tpad,
                           nz=nz, self_col=self_col, n_cols_u=n_cols_u,
-                          n_packets=cap // 8, uniform_lj=uniform_lj),
+                          n_packets=cap // 8, uniform_lj=uniform_lj,
+                          want_virial=want_virial),
         grid=(nx * ny,),
         in_specs=in_specs,
-        out_specs=bs((1, nz * cap, 8), lambda c: (c, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((nx * ny, nz * cap, 8), jnp.float32),
+        out_specs=bs((1, nz * cap, 4), lambda c: (c, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nx * ny, nz * cap, 4), jnp.float32),
         interpret=interpret,
     )
     out_c = call(counts, cols8h, *([cols8hT] * n_cols_u), box8, *params)
-    out_flat = out_c.reshape(nx * ny * nz * cap, 8)
+    out_flat = out_c.reshape(nx * ny * nz * cap, 4)
     if slot_of is not None:
-        # out_c's (nx*ny, nz*cap, 8) flat order is (cid // nz)*nz*cap +
+        # out_c's (nx*ny, nz*cap, 4) flat order is (cid // nz)*nz*cap +
         # (cid % nz)*cap + p == cid*cap + p — exactly slot_of's indexing
         in_grid = slot_of < n_cells * cap
-        rows_f = out_flat[jnp.where(in_grid, slot_of, 0)]    # (N, 8)
+        rows_f = out_flat[jnp.where(in_grid, slot_of, 0)]    # (N, 4)
         force = jnp.where(in_grid[:, None], rows_f[:, :3], 0.0)
     else:
         force = jnp.zeros((n, 3), pos.dtype)
         flat_rows = jnp.where(slot_valid, rows, n).reshape(-1)
         force = force.at[flat_rows].add(out_flat[:, :3], mode="drop")
     zero = jnp.asarray(0.0, pos.dtype)
-    return force, jnp.sum(out_flat[:, 3]), zero, jnp.sum(out_flat[:, 4])
+    s3 = jnp.sum(out_flat[:, 3])
+    if want_virial:
+        return force, zero, zero, s3
+    return force, s3, zero, zero
 
 
 def cell_pair_forces_columns(pos, type_id, active, box, buckets, dims, spec,
@@ -1142,11 +1272,14 @@ def _pad_tt(a, n_types: int, pad: int):
 def cell_pair_forces(pos, type_id, active, box, buckets, dims, spec,
                      n_types: int, cap: int, interpret: bool = False,
                      uniform_lj: bool = False, packets: bool | None = None,
-                     slot_of=None):
+                     slot_of=None, want_virial: bool = False):
     """All-pairs (minus nothing) cell-tile LJ forces.
 
-    Returns (force (N,3), e_lj scalar, e_tab scalar == 0) over the UNexcluded
-    all-pairs sum; callers subtract the exclusion-list contributions.
+    Returns (force (N,3), e_lj, e_tab == 0, w) over the UNexcluded all-pairs
+    sum; callers subtract the exclusion-list contributions.  The cell and
+    colt kernels emit ONE spare output channel, so e_lj and w are exclusive
+    there: the default call returns (f, e, 0, 0), a ``want_virial`` call
+    (f, 0, 0, w) — the force pass needs only e, the pressure pass only w.
     ``buckets`` is (n_cells+1, cap) particle rows (-1 padded); ``dims`` the
     static cell-grid dims.  ``slot_of`` (the (N,) inverse of buckets, from
     ``build_cell_buckets``) turns the epilogue scatter-add into per-axis
@@ -1163,14 +1296,15 @@ def cell_pair_forces(pos, type_id, active, box, buckets, dims, spec,
         elif packets:
             choice = "packet"
     if not choice:
-        # Measured on v5e (TPU_NUMBERS_r04 kernel matrix): at 10k/1331 cells
-        # the per-cell kernel wins (3.14 vs 3.49 ms); at 100k/13824 cells the
-        # transpose-once column kernel is 11% faster (40.8 vs 45.7 ms) —
-        # fatter programs with occupancy-gated row packets pay off once the
-        # grid is thousands of cells.  The variants stay selectable
-        # (CHEMLAB_KERNEL=cell|colt|packet|column|resident) for tuning.
-        if (int(np.prod(dims)) >= 4096 and cap % 8 == 0
-                and min(int(d) for d in dims) >= 3):
+        # Measured on v5e (TPU_NUMBERS_r04 kernel matrix): the rolled
+        # transpose-once column kernel (colt2) beats the per-cell kernel at
+        # every scale — 2.01 vs 3.23 ms at 10k/1331 cells, 11.75 vs 42.7 ms
+        # at 100k/13824 cells (the unrolled colt1 sat at 31.5: ~1000
+        # inlined tile bodies made it instruction-stream bound).  Default
+        # to colt2 wherever its layout is legal (cap % 8, full 27-stencil);
+        # the variants stay selectable (CHEMLAB_KERNEL=cell|colt1|colt2|
+        # packet|column|resident) for tuning.
+        if cap % 8 == 0 and min(int(d) for d in dims) >= 3:
             choice = "colt"
         else:
             choice = "cell"
@@ -1184,11 +1318,15 @@ def cell_pair_forces(pos, type_id, active, box, buckets, dims, spec,
                                         dims, spec, n_types, cap,
                                         interpret=interpret,
                                         uniform_lj=uniform_lj)
-    if choice == "colt" and cap % 8 == 0 and min(int(d) for d in dims) >= 3:
+    if choice in ("colt", "colt1", "colt2") and cap % 8 == 0 \
+            and min(int(d) for d in dims) >= 3:
         return cell_pair_forces_colt(pos, type_id, active, box, buckets,
                                      dims, spec, n_types, cap,
                                      interpret=interpret,
-                                     uniform_lj=uniform_lj, slot_of=slot_of)
+                                     uniform_lj=uniform_lj, slot_of=slot_of,
+                                     want_virial=want_virial,
+                                     impl="colt" if choice == "colt1"
+                                     else "colt2")
     if choice == "packet" and cap % 8 == 0:
         return cell_pair_forces_packets(pos, type_id, active, box, buckets,
                                         dims, spec, n_types, cap,
@@ -1237,28 +1375,33 @@ def cell_pair_forces(pos, type_id, active, box, buckets, dims, spec,
     n_stencil = offsets.shape[0]
     call = pl.pallas_call(
         functools.partial(_kernel, cap=cap, n_types_pad=tpad,
-                          n_stencil=n_stencil, uniform_lj=uniform_lj),
+                          n_stencil=n_stencil, uniform_lj=uniform_lj,
+                          want_virial=want_virial),
         grid_spec=pltpu_grid(n_cells, cap, tpad, dims, offsets),
-        out_shape=jax.ShapeDtypeStruct((n_cells, cap, 8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_cells, cap, 4), jnp.float32),
         interpret=interpret,
     )
     out_c = call(cpos, *([cpos] * n_stencil), box4, *params)
-    flat = out_c.reshape(n_cells * cap, 8)
+    flat = out_c.reshape(n_cells * cap, 4)
 
     # epilogue: every particle lives in exactly ONE slot, so the force
-    # comes back by the slot_of inverse map — ONE (N,) 32-byte-row gather
+    # comes back by the slot_of inverse map — ONE (N,) 16-byte-row gather
     # instead of a C*cap-row scatter-add.  Invalid slots computed zero
-    # already (tv=0 gates them in-kernel), so energies are plain sums.
+    # already (tv=0 gates them in-kernel); energy/virial arrive pre-reduced
+    # per program in the tiny (C, 8) ew output.
     if slot_of is not None:
         in_grid = slot_of < n_cells * cap
-        rows_f = flat[jnp.where(in_grid, slot_of, 0)]       # (N, 8)
+        rows_f = flat[jnp.where(in_grid, slot_of, 0)]       # (N, 4)
         force = jnp.where(in_grid[:, None], rows_f[:, :3], 0.0)
     else:
         force = jnp.zeros((n, 3), pos.dtype)
         flat_rows = jnp.where(buckets[:n_cells] >= 0, rows, n).reshape(-1)
         force = force.at[flat_rows].add(flat[:, :3], mode="drop")
     zero = jnp.asarray(0.0, pos.dtype)
-    return force, jnp.sum(flat[:, 3]), zero, jnp.sum(flat[:, 4])
+    s3 = jnp.sum(flat[:, 3])
+    if want_virial:
+        return force, zero, zero, s3
+    return force, s3, zero, zero
 
 
 def pltpu_grid(n_cells, cap, tpad, dims, offsets):
@@ -1298,7 +1441,7 @@ def pltpu_grid(n_cells, cap, tpad, dims, offsets):
             + [bs((1, 4), rep2)]
             + [bs((tpad, tpad), rep2)] * 5
         ),
-        out_specs=bs((1, cap, 8), cell_map),
+        out_specs=bs((1, cap, 4), cell_map),
     )
 
 

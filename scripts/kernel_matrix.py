@@ -34,11 +34,12 @@ def kfn(kind):
             s.pos, s.type_id, s.active, s.box, s.nbr.buckets, cfg.cell_dims,
             spec, cfg.n_types, cfg.cell_cap, uniform_lj=cfg.uniform_lj,
             z_unroll=False)[0]
-    elif kind == "colt":
+    elif kind in ("colt", "colt1", "colt2"):
+        impl = "colt" if kind == "colt1" else "colt2"
         f = lambda s: pallas_pair.cell_pair_forces_colt(
             s.pos, s.type_id, s.active, s.box, s.nbr.buckets, cfg.cell_dims,
             spec, cfg.n_types, cfg.cell_cap, uniform_lj=cfg.uniform_lj,
-            slot_of=s.nbr.slot_of)[0]
+            slot_of=s.nbr.slot_of, impl=impl)[0]
     elif kind == "colz":
         f = lambda s: pallas_pair.cell_pair_forces_columns(
             s.pos, s.type_id, s.active, s.box, s.nbr.buckets, cfg.cell_dims,

@@ -70,8 +70,8 @@ cpos = operand(st)
 print(json.dumps({"operand_gather_ms": round(timeit(operand, st), 3)}),
       flush=True)
 
-# epilogue alone: slot_of row gather out of a (C*cap, 8) flat result
-flat = jnp.zeros((n_cells * cap, 8), jnp.float32)
+# epilogue alone: slot_of row gather out of a (C*cap, 4) flat result
+flat = jnp.zeros((n_cells * cap, 4), jnp.float32)
 
 @jax.jit
 def epilogue(fl, s):

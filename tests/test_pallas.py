@@ -57,21 +57,27 @@ def test_packet_kernel_matches_cell_kernel(melt):
     spec, cfg = built.spec, built.cfg
     args = (st.pos, st.type_id, st.active, st.box, st.nbr.buckets,
             cfg.cell_dims, spec, cfg.n_types, cfg.cell_cap)
-    f_old, e_old, _, w_old = pallas_pair.cell_pair_forces(*args,
-                                                          interpret=True,
-                                                          packets=False)
+    f_old, e_old, _, _ = pallas_pair.cell_pair_forces(*args,
+                                                      interpret=True,
+                                                      packets=False)
+    # the cell kernel's single spare channel is e XOR w (want_virial)
+    _, _, _, w_old = pallas_pair.cell_pair_forces(*args, interpret=True,
+                                                  packets=False,
+                                                  want_virial=True)
     f_new, e_new, _, w_new = pallas_pair.cell_pair_forces(*args,
                                                           interpret=True,
                                                           packets=True)
-    assert float(e_old) == float(e_new)
-    assert float(w_old) == float(w_new)
+    # forces are per-slot and stay bit-identical; e/w sum GROUPING differs
+    # (16-byte output rows), so tight rel tolerance instead of bitwise
+    assert float(e_old) == pytest.approx(float(e_new), rel=1e-6)
+    assert float(w_old) == pytest.approx(float(w_new), rel=1e-6)
     assert np.array_equal(np.asarray(f_old), np.asarray(f_new))
     # uniform-LJ shortcut too
     f_u, e_u, _, w_u = pallas_pair.cell_pair_forces(*args, interpret=True,
                                                     packets=True,
                                                     uniform_lj=True)
-    assert float(e_u) == float(e_old)
-    assert float(w_u) == float(w_old)
+    assert float(e_u) == pytest.approx(float(e_old), rel=1e-6)
+    assert float(w_u) == pytest.approx(float(w_old), rel=1e-6)
     assert np.array_equal(np.asarray(f_u), np.asarray(f_old))
 
 
@@ -84,17 +90,21 @@ def test_column_kernel_matches_cell_kernel(melt):
     spec, cfg = built.spec, built.cfg
     args = (st.pos, st.type_id, st.active, st.box, st.nbr.buckets,
             cfg.cell_dims, spec, cfg.n_types, cfg.cell_cap)
-    f_old, e_old, _, w_old = pallas_pair.cell_pair_forces(*args,
-                                                          interpret=True,
-                                                          packets=False)
+    f_old, e_old, _, _ = pallas_pair.cell_pair_forces(*args,
+                                                      interpret=True,
+                                                      packets=False)
+    _, _, _, w_old = pallas_pair.cell_pair_forces(*args, interpret=True,
+                                                  packets=False,
+                                                  want_virial=True)
     f_new, e_new, _, w_new = pallas_pair.cell_pair_forces_columns(
         *args, interpret=True)
-    assert float(e_old) == float(e_new)
-    assert float(w_old) == float(w_new)
+    # e/w sum grouping differs (16-byte output rows in the cell kernel)
+    assert float(e_old) == pytest.approx(float(e_new), rel=1e-6)
+    assert float(w_old) == pytest.approx(float(w_new), rel=1e-6)
     assert np.array_equal(np.asarray(f_old), np.asarray(f_new))
     f_u, e_u, _, w_u = pallas_pair.cell_pair_forces_columns(
         *args, interpret=True, uniform_lj=True)
-    assert float(e_u) == float(e_old)
+    assert float(e_u) == pytest.approx(float(e_old), rel=1e-6)
     assert np.array_equal(np.asarray(f_u), np.asarray(f_old))
 
 
@@ -164,12 +174,17 @@ def test_colt_kernel_matches_cell_kernel():
         pytest.skip("colt needs cap%8==0 and a full 27-stencil grid")
     args = (st.pos, st.type_id, st.active, st.box, st.nbr.buckets,
             cfg.cell_dims, spec, cfg.n_types, cfg.cell_cap)
-    f_old, e_old, _, w_old = pallas_pair.cell_pair_forces(*args,
-                                                          interpret=True,
-                                                          packets=False)
+    f_old, e_old, _, _ = pallas_pair.cell_pair_forces(*args,
+                                                      interpret=True,
+                                                      packets=False)
+    _, _, _, w_old = pallas_pair.cell_pair_forces(*args, interpret=True,
+                                                  packets=False,
+                                                  want_virial=True)
     for so in (st.nbr.slot_of, None):
-        f_new, e_new, _, w_new = pallas_pair.cell_pair_forces_colt(
+        f_new, e_new, _, _ = pallas_pair.cell_pair_forces_colt(
             *args, interpret=True, slot_of=so)
+        _, _, _, w_new = pallas_pair.cell_pair_forces_colt(
+            *args, interpret=True, slot_of=so, want_virial=True)
         assert float(e_new) == pytest.approx(float(e_old), rel=1e-5)
         assert float(w_new) == pytest.approx(float(w_old), rel=1e-5)
         fo = np.asarray(f_old)
