@@ -97,6 +97,7 @@ def _bench_melt(n_mols, want_pallas, n_blocks, block_steps):
         # fluid runs 2-5x leaner tiles, and overflow + regrowth remains the
         # backstop if the melt densifies later
         cfg, state = build_mod.shrink_neighbor_caps(cfg, spec, state)
+        cfg, state = build_mod.shrink_term_caps(cfg, state)
     state = testsystems.activate_initiators(built, systop, state,
                                             n=max(cfg.n_particles // 300, 4))
 

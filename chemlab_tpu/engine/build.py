@@ -603,6 +603,41 @@ def term_caps_near_full(cfg: EngineConfig, counts: dict,
                 "excl_pair_cap", float("inf")))
 
 
+def shrink_term_caps(cfg: EngineConfig, state, headroom: int | None = None):
+    """Tighten the bonded term tables + exclusion pair list to the OBSERVED
+    occupancy (the term-table analog of :func:`shrink_neighbor_caps`).
+
+    Build-time caps carry reactive headroom (``extra_bonds`` and friends);
+    every padded row costs a 16-byte-row gather forward and a scatter-add
+    row backward in the per-step bonded pass (scripts/bonded_profile.py:
+    at 100k the angle padding alone is ~38k of 279k gather rows).  After
+    equilibration the append cursors are known, so re-pad each table down
+    to cursor + a thin headroom; ``term_caps_near_full`` + proactive
+    :func:`grow_term_caps` in the block loop regrow as conversion
+    proceeds.  Shrink-only (a table above its derived target is left
+    alone).  Returns (cfg, state); a changed cfg forces one re-jit.
+    """
+    tables = {"bond_cap": state.bonds, "angle_cap": state.angles,
+              "dihedral_cap": state.dihedrals}
+    caps = {}
+    for f, table in tables.items():
+        cur_cap = getattr(cfg, f)
+        hr = headroom if headroom is not None else max(
+            512, cfg.n_particles // 64)
+        # the cursor bounds live rows; rows past it are -1 padding
+        tgt = _round_up(max(int(table.count) + hr, 128), 128)
+        if tgt < cur_cap:
+            caps[f] = tgt
+    excl_new = None
+    hr = headroom if headroom is not None else max(512, cfg.n_particles // 64)
+    excl_tgt = _round_up(max(int(state.n_excl) + 2 * hr, 128), 128)
+    if excl_tgt < state.excl.shape[0]:
+        excl_new = excl_tgt
+    if not caps and excl_new is None:
+        return cfg, state
+    return apply_term_caps(cfg, state, caps, excl_new)
+
+
 def grow_term_caps(cfg: EngineConfig, state, factor: float = 1.5,
                    counts: dict | None = None, threshold: float = 0.8):
     """Adaptive regrowth of the bonded term tables + exclusion pair list

@@ -598,12 +598,17 @@ def main(argv=None):
         if not caps_retuned and global_step >= args.retune_caps:
             caps_retuned = True
             old = (cfg.max_neighbors, cfg.cell_cap)
+            old_t = (cfg.bond_cap, cfg.angle_cap)
             cfg, state = build.shrink_neighbor_caps(cfg, spec, state)
-            if (cfg.max_neighbors, cfg.cell_cap) != old:
+            cfg, state = build.shrink_term_caps(cfg, state)
+            if (cfg.max_neighbors, cfg.cell_cap) != old or \
+                    (cfg.bond_cap, cfg.angle_cap) != old_t:
                 state = place(state)
-                print("caps retuned at step %d: K %d->%d cell %d->%d"
+                print("caps retuned at step %d: K %d->%d cell %d->%d "
+                      "bonds %d->%d angles %d->%d"
                       % (global_step, old[0], cfg.max_neighbors,
-                         old[1], cfg.cell_cap))
+                         old[1], cfg.cell_cap, old_t[0], cfg.bond_cap,
+                         old_t[1], cfg.angle_cap))
 
         # enable reactions at start_ar, exactly once (ref: :735-757)
         if (cfg.has_reactions and not reactions_started

@@ -53,3 +53,32 @@ def test_shrink_noop_when_tight():
     cfg3, st3 = build.shrink_neighbor_caps(cfg2, spec, st2)
     assert cfg3 is cfg2
     assert st3 is st2
+
+def test_shrink_term_caps():
+    """Term-table shrink: reactive headroom comes down to cursor + margin,
+    physics identical, appends still work (regrow backstop intact)."""
+    built, systop, _ = testsystems.build_melt(n_mols=120, reactive=True)
+    spec, cfg = built.spec, built.cfg
+    st = runner.initial_forces(spec, cfg, built.state)
+    st = testsystems.warmup(built, st, steps=100)
+
+    e0 = float(runner.measure(spec, cfg, st)["epot"])
+    cfg_s, st_s = build.shrink_term_caps(cfg, st, headroom=16)
+    assert cfg_s.bond_cap < cfg.bond_cap or cfg_s.angle_cap < cfg.angle_cap
+    assert st_s.excl.shape[0] <= st.excl.shape[0]
+
+    e_s = float(runner.measure(spec, cfg_s, st_s)["epot"])
+    assert abs(e_s - e0) <= 1e-5 * abs(e0)
+
+    st_s = testsystems.activate_initiators(built, systop, st_s, n=4)
+    st_s = runner.run_block(spec, cfg_s, st_s, 250)
+    m = runner.measure(spec, cfg_s, st_s)
+    assert np.isfinite(float(m["epot"]))
+    # reactions fired into the shrunk tables without dropping events
+    assert int(m["n_bonds"]) >= int(
+        runner.measure(spec, cfg, st)["n_bonds"])
+
+    # idempotent second shrink at the same headroom is a no-op
+    cfg2, st2 = build.shrink_term_caps(cfg_s, st_s, headroom=16)
+    assert cfg2.bond_cap == cfg_s.bond_cap
+    assert cfg2.angle_cap == cfg_s.angle_cap
