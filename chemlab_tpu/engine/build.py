@@ -591,16 +591,33 @@ def apply_term_caps(cfg: EngineConfig, state, caps: dict,
                                        overflow=jnp.asarray(False)))
 
 
-def term_caps_near_full(cfg: EngineConfig, counts: dict,
-                        margin: float = 0.9) -> bool:
-    """True when any dynamic term table (or the exclusion pair list) is at
-    ``margin`` of capacity — the driver grows proactively so reaction events
-    are never dropped at the cap (the reference's lists reallocate freely)."""
-    return (counts.get("n_bonds", 0) >= margin * cfg.bond_cap
-            or counts.get("n_angles", 0) >= margin * cfg.angle_cap
-            or counts.get("n_dihedrals", 0) >= margin * cfg.dihedral_cap
-            or counts.get("n_excl", 0) >= margin * counts.get(
-                "excl_pair_cap", float("inf")))
+def _term_headroom_floor(cap: int) -> int:
+    """Minimum free rows a term table should keep before proactive regrowth.
+
+    Absolute-remaining based, NOT a fraction of capacity: a 100k-particle
+    static topology legitimately sits at ~95% of its build cap (the cap is
+    occupancy + a thin reactive slice), and a fractional trigger regrows it
+    on the first check even though thousands of free rows remain — the
+    round-4 soak measured exactly that flip-flop (shrink to 68352, regrow
+    to 102528 at step 1000).  The 512 ceiling keeps the floor at or below
+    the build's own reactive slice (``extra_bonds`` >= max(n/32, 512)),
+    so freshly built or freshly shrunk caps never trip the trigger."""
+    return max(min(512, cap // 8), cap // 64)
+
+
+def term_caps_near_full(cfg: EngineConfig, counts: dict) -> bool:
+    """True when any dynamic term table (or the exclusion pair list) is
+    within its headroom floor of capacity — the driver grows proactively so
+    reaction events are never dropped at the cap (the reference's lists
+    reallocate freely)."""
+    def low(count, cap):
+        return cap - count < _term_headroom_floor(cap)
+
+    return (low(counts.get("n_bonds", 0), cfg.bond_cap)
+            or low(counts.get("n_angles", 0), cfg.angle_cap)
+            or low(counts.get("n_dihedrals", 0), cfg.dihedral_cap)
+            or low(counts.get("n_excl", 0),
+                   counts.get("excl_pair_cap", 1 << 30)))
 
 
 def shrink_term_caps(cfg: EngineConfig, state, headroom: int | None = None):
@@ -617,20 +634,25 @@ def shrink_term_caps(cfg: EngineConfig, state, headroom: int | None = None):
     proceeds.  Shrink-only (a table above its derived target is left
     alone).  Returns (cfg, state); a changed cfg forces one re-jit.
     """
+    def target(count, hr):
+        # must clear the proactive-regrow trigger (2x the headroom floor at
+        # the NEW cap) with slack, or the first block-loop check undoes the
+        # shrink at 1.5x — measured flip-flop in the round-4 soak
+        t0 = max(count + (headroom if headroom is not None else hr), 128)
+        t0 = max(t0, count + 2 * _term_headroom_floor(t0) + 256)
+        return _round_up(t0, 128)
+
+    hr = max(2048, cfg.n_particles // 32)
     tables = {"bond_cap": state.bonds, "angle_cap": state.angles,
               "dihedral_cap": state.dihedrals}
     caps = {}
     for f, table in tables.items():
-        cur_cap = getattr(cfg, f)
-        hr = headroom if headroom is not None else max(
-            512, cfg.n_particles // 64)
         # the cursor bounds live rows; rows past it are -1 padding
-        tgt = _round_up(max(int(table.count) + hr, 128), 128)
-        if tgt < cur_cap:
+        tgt = target(int(table.count), hr)
+        if tgt < getattr(cfg, f):
             caps[f] = tgt
     excl_new = None
-    hr = headroom if headroom is not None else max(512, cfg.n_particles // 64)
-    excl_tgt = _round_up(max(int(state.n_excl) + 2 * hr, 128), 128)
+    excl_tgt = target(int(state.n_excl), 2 * hr)
     if excl_tgt < state.excl.shape[0]:
         excl_new = excl_tgt
     if not caps and excl_new is None:
@@ -639,28 +661,30 @@ def shrink_term_caps(cfg: EngineConfig, state, headroom: int | None = None):
 
 
 def grow_term_caps(cfg: EngineConfig, state, factor: float = 1.5,
-                   counts: dict | None = None, threshold: float = 0.8):
+                   counts: dict | None = None):
     """Adaptive regrowth of the bonded term tables + exclusion pair list
     (the TopologyManager-side analog of :func:`grow_neighbor_caps`).
 
     With ``counts`` (the measure/measure_cheap occupancy dict), only the
-    tables at >= ``threshold`` of capacity grow — every padded term row
-    costs gathers + AD scatters per step, so inflating a half-empty table
-    alongside the saturated one taxes the whole rest of the run (a 1.5x
-    all-tables regrowth measured ~15% sustained pps loss at 100k).
-    Without ``counts`` everything grows.  Returns (cfg, state); the
-    changed cfg forces one re-jit."""
+    tables within 2x their headroom floor of capacity grow — every padded
+    term row costs gathers + AD scatters per step, so inflating a
+    half-empty table alongside the saturated one taxes the whole rest of
+    the run (a 1.5x all-tables regrowth measured ~15% sustained pps loss
+    at 100k).  Without ``counts`` everything grows.  Returns
+    (cfg, state); the changed cfg forces one re-jit."""
     count_key = {"bond_cap": "n_bonds", "angle_cap": "n_angles",
                  "dihedral_cap": "n_dihedrals"}
     caps = {}
     for f in TERM_CAP_FIELDS:
         cur = getattr(cfg, f)
-        if counts is None or counts.get(count_key[f], 0) >= threshold * cur:
+        if counts is None or cur - counts.get(count_key[f], 0) < \
+                2 * _term_headroom_floor(cur):
             caps[f] = _round_up(int(max(cur, 128) * factor), 128)
     excl_new = None
-    if (counts is None
-            or counts.get("n_excl", 0) >= threshold * state.excl.shape[0]):
-        excl_new = _round_up(int(max(state.excl.shape[0], 128) * factor), 128)
+    excl_cap = state.excl.shape[0]
+    if (counts is None or excl_cap - counts.get("n_excl", 0)
+            < 2 * _term_headroom_floor(excl_cap)):
+        excl_new = _round_up(int(max(excl_cap, 128) * factor), 128)
     return apply_term_caps(cfg, state, caps, excl_new)
 
 

@@ -23,6 +23,9 @@ def main():
     p.add_argument("--n_mols", type=int, default=33334)
     p.add_argument("--pallas", type=int, default=-1,
                    help="1/0 force; -1 = auto (on when the backend is TPU)")
+    p.add_argument("--retune", type=int, default=1,
+                   help="apply the post-equilibration cap shrink (the CLI's "
+                        "--retune_caps) before the timed run")
     a = p.parse_args()
 
     import jax
@@ -40,6 +43,13 @@ def main():
     spec, cfg = built.spec, built.cfg
     st = runner.initial_forces(spec, cfg, built.state)
     st = testsystems.warmup(built, st, steps=600)
+    if a.retune:
+        cfg, st = build_mod.shrink_neighbor_caps(cfg, spec, st)
+        cfg, st = build_mod.shrink_term_caps(cfg, st)
+        print(json.dumps({"retuned": {"cell_cap": cfg.cell_cap,
+                                      "K": cfg.max_neighbors,
+                                      "bond_cap": cfg.bond_cap,
+                                      "angle_cap": cfg.angle_cap}}), flush=True)
     st = testsystems.activate_initiators(built, systop, st,
                                          n=max(cfg.n_particles // 300, 4))
     st = runner.run_block(spec, cfg, st, a.block)   # compile
