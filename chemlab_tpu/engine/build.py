@@ -605,19 +605,28 @@ def _term_headroom_floor(cap: int) -> int:
     return max(min(512, cap // 8), cap // 64)
 
 
-def term_caps_near_full(cfg: EngineConfig, counts: dict) -> bool:
+def term_caps_near_full(cfg: EngineConfig, counts: dict,
+                        prev_counts: dict | None = None) -> bool:
     """True when any dynamic term table (or the exclusion pair list) is
     within its headroom floor of capacity — the driver grows proactively so
     reaction events are never dropped at the cap (the reference's lists
-    reallocate freely)."""
-    def low(count, cap):
-        return cap - count < _term_headroom_floor(cap)
+    reallocate freely).
 
-    return (low(counts.get("n_bonds", 0), cfg.bond_cap)
-            or low(counts.get("n_angles", 0), cfg.angle_cap)
-            or low(counts.get("n_dihedrals", 0), cfg.dihedral_cap)
-            or low(counts.get("n_excl", 0),
-                   counts.get("excl_pair_cap", 1 << 30)))
+    With ``prev_counts`` (the previous block's counts dict) the check is
+    RATE-AWARE: the floor is raised to 2x the appends observed in the last
+    block, so a fast-reacting system (round-4 soak: ~2k new angles per 1k
+    steps at 100k) grows before a single block can overrun the cap."""
+    def low(key, cap):
+        count = counts.get(key, 0)
+        need = _term_headroom_floor(cap)
+        if prev_counts is not None:
+            need = max(need, 2 * (count - prev_counts.get(key, count)))
+        return cap - count < need
+
+    return (low("n_bonds", cfg.bond_cap)
+            or low("n_angles", cfg.angle_cap)
+            or low("n_dihedrals", cfg.dihedral_cap)
+            or low("n_excl", counts.get("excl_pair_cap", 1 << 30)))
 
 
 def shrink_term_caps(cfg: EngineConfig, state, headroom: int | None = None):
@@ -634,12 +643,21 @@ def shrink_term_caps(cfg: EngineConfig, state, headroom: int | None = None):
     proceeds.  Shrink-only (a table above its derived target is left
     alone).  Returns (cfg, state); a changed cfg forces one re-jit.
     """
-    def target(count, hr):
+    def target(count, hr, cur_cap):
         # must clear the proactive-regrow trigger (2x the headroom floor at
         # the NEW cap) with slack, or the first block-loop check undoes the
         # shrink at 1.5x — measured flip-flop in the round-4 soak
         t0 = max(count + (headroom if headroom is not None else hr), 128)
         t0 = max(t0, count + 2 * _term_headroom_floor(t0) + 256)
+        if cfg.has_reactions and headroom is None:
+            # an actively reacting system fills its tables for real (the
+            # round-4 soak measured ~1k new bonds + 2k new angles per 1k
+            # steps at 100k): keep at least half the existing free slice
+            # so one reaction interval can never outrun the next
+            # block-boundary capacity check (an explicit headroom
+            # overrides — the caller owns the margin, and shrink stays
+            # idempotent at a fixed headroom)
+            t0 = max(t0, count + (cur_cap - count) // 2)
         return _round_up(t0, 128)
 
     hr = max(2048, cfg.n_particles // 32)
@@ -648,11 +666,11 @@ def shrink_term_caps(cfg: EngineConfig, state, headroom: int | None = None):
     caps = {}
     for f, table in tables.items():
         # the cursor bounds live rows; rows past it are -1 padding
-        tgt = target(int(table.count), hr)
+        tgt = target(int(table.count), hr, getattr(cfg, f))
         if tgt < getattr(cfg, f):
             caps[f] = tgt
     excl_new = None
-    excl_tgt = target(int(state.n_excl), 2 * hr)
+    excl_tgt = target(int(state.n_excl), 2 * hr, state.excl.shape[0])
     if excl_tgt < state.excl.shape[0]:
         excl_new = excl_tgt
     if not caps and excl_new is None:
@@ -661,7 +679,8 @@ def shrink_term_caps(cfg: EngineConfig, state, headroom: int | None = None):
 
 
 def grow_term_caps(cfg: EngineConfig, state, factor: float = 1.5,
-                   counts: dict | None = None):
+                   counts: dict | None = None,
+                   prev_counts: dict | None = None):
     """Adaptive regrowth of the bonded term tables + exclusion pair list
     (the TopologyManager-side analog of :func:`grow_neighbor_caps`).
 
@@ -674,16 +693,24 @@ def grow_term_caps(cfg: EngineConfig, state, factor: float = 1.5,
     (cfg, state); the changed cfg forces one re-jit."""
     count_key = {"bond_cap": "n_bonds", "angle_cap": "n_angles",
                  "dihedral_cap": "n_dihedrals"}
+
+    def need(key, cap):
+        n = 2 * _term_headroom_floor(cap)
+        if prev_counts is not None and counts is not None:
+            n = max(n, 4 * (counts.get(key, 0)
+                            - prev_counts.get(key, counts.get(key, 0))))
+        return n
+
     caps = {}
     for f in TERM_CAP_FIELDS:
         cur = getattr(cfg, f)
         if counts is None or cur - counts.get(count_key[f], 0) < \
-                2 * _term_headroom_floor(cur):
+                need(count_key[f], cur):
             caps[f] = _round_up(int(max(cur, 128) * factor), 128)
     excl_new = None
     excl_cap = state.excl.shape[0]
     if (counts is None or excl_cap - counts.get("n_excl", 0)
-            < 2 * _term_headroom_floor(excl_cap)):
+            < need("n_excl", excl_cap)):
         excl_new = _round_up(int(max(excl_cap, 128) * factor), 128)
     return apply_term_caps(cfg, state, caps, excl_new)
 

@@ -515,6 +515,7 @@ def main(argv=None):
                          "w")
     t_loop = time.time()
     k = 0
+    prev_counts = None   # last block's term counts (rate-aware cap growth)
     global_step = int(state.step)   # nonzero when resuming from a checkpoint
     energy_every = max(args.energy_collect // max(integrator_step, 1), 1)
     while k < sim_steps:
@@ -571,8 +572,10 @@ def main(argv=None):
         counts = {kk: int(m[kk]) for kk in
                   ("n_bonds", "n_angles", "n_dihedrals", "n_excl") if kk in m}
         counts["excl_pair_cap"] = state.excl.shape[0]
-        if cfg.has_reactions and build.term_caps_near_full(cfg, counts):
-            cfg, state = build.grow_term_caps(cfg, state, counts=counts)
+        if cfg.has_reactions and build.term_caps_near_full(
+                cfg, counts, prev_counts=prev_counts):
+            cfg, state = build.grow_term_caps(cfg, state, counts=counts,
+                                              prev_counts=prev_counts)
             state = place(state)
             print("capacity: term tables regrown to bonds=%d angles=%d "
                   "dihedrals=%d excl=%d" % (cfg.bond_cap, cfg.angle_cap,
@@ -583,6 +586,7 @@ def main(argv=None):
             state = place(state)
             print("capacity overflow: neighbor caps regrown to K=%d cell=%d"
                   % (cfg.max_neighbors, cfg.cell_cap))
+        prev_counts = counts
 
         if args.trj_collect and global_step % args.trj_collect == 0:
             dump_frame(state, global_step)

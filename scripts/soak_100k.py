@@ -58,6 +58,7 @@ def main():
     print(json.dumps({"device": str(jax.devices()[0]),
                       "n": cfg.n_particles, "steps": a.steps}), flush=True)
     regrowths = 0
+    prev_counts = None
     done = a.block      # compile block counts toward the run
     t0 = time.perf_counter()
     while done < a.steps:
@@ -67,8 +68,10 @@ def main():
         counts = {k: int(mc[k]) for k in ("n_bonds", "n_angles",
                                           "n_dihedrals", "n_excl")}
         counts["excl_pair_cap"] = st.excl.shape[0]
-        if build_mod.term_caps_near_full(cfg, counts):
-            cfg, st = build_mod.grow_term_caps(cfg, st, counts=counts)
+        if build_mod.term_caps_near_full(cfg, counts,
+                                         prev_counts=prev_counts):
+            cfg, st = build_mod.grow_term_caps(cfg, st, counts=counts,
+                                               prev_counts=prev_counts)
             regrowths += 1
             print(json.dumps({"step": done, "regrow_terms": cfg.bond_cap,
                               "angle_cap": cfg.angle_cap}), flush=True)
@@ -77,6 +80,7 @@ def main():
             regrowths += 1
             print(json.dumps({"step": done, "regrow_to_K": cfg.max_neighbors,
                               "cell_cap": cfg.cell_cap}), flush=True)
+        prev_counts = counts
         if done % (a.block * 8) == 0:
             m = runner.measure(spec, cfg, st)
             print(json.dumps({
