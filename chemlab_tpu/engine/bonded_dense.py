@@ -32,11 +32,13 @@ Layout invariants of a dense table (arity A):
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax.numpy as jnp
 
 from .state import I32, TermTable
 
-__all__ = ["derive_aligned", "roll_rows"]
+__all__ = ["derive_aligned", "roll_rows", "rederive"]
 
 
 def roll_rows(pos4, arity: int):
@@ -128,3 +130,21 @@ def derive_aligned(table: TermTable, n: int, irr_cap: int):
     dense = _scatter_columns(table, claimed, base, n, arity)
     irr, overflow = _compact(table, valid & ~claimed, irr_cap)
     return dense, irr, overflow
+
+
+def rederive(cfg, state):
+    """Refresh the dense/irregular operands from the canonical tables
+    (jit-friendly; call wherever bonds/angles may have changed — the end
+    of a reaction interval, build, term-cap repad).  Any irregular-
+    capacity overflow folds into the sticky flag; by the lockstep-growth
+    invariant (irr_cap tracks cap - n_aligned_static, spec.py) it cannot
+    fire unless the invariant is broken."""
+    if not cfg.bonded_dense:
+        return state
+    n = state.pos.shape[0]
+    bdn, bir, o1 = derive_aligned(state.bonds, n, cfg.bond_irr_cap)
+    adn, air, o2 = derive_aligned(state.angles, n, cfg.angle_irr_cap)
+    nbr = dataclasses.replace(state.nbr,
+                              overflow=state.nbr.overflow | o1 | o2)
+    return dataclasses.replace(state, bonds_dense=bdn, bonds_irr=bir,
+                               angles_dense=adn, angles_irr=air, nbr=nbr)

@@ -216,9 +216,22 @@ def pair14_energies(spec: SimSpec, rows4, box, q, pairs14: TermTable):
     return {"lj14": jnp.sum(e_lj), "coulomb14": jnp.sum(e_qq)}
 
 
+def _merge_add(out, terms):
+    for k, v in terms.items():
+        out[k] = out[k] + v if k in out else v
+    return out
+
+
 def bonded_energy_terms(spec: SimSpec, cfg, pos, box, type_id, q,
-                        bonds, angles, dihedrals, pairs14):
-    """All bonded energy terms as a dict of scalars."""
+                        bonds, angles, dihedrals, pairs14, dense=None):
+    """All bonded energy terms as a dict of scalars.
+
+    ``dense``: (bonds_dense, bonds_irr, angles_dense, angles_irr) when
+    ``cfg.bonded_dense`` — the chain terms then evaluate on ROLLED planes
+    (endpoint k = pos rolled up by k; slot = base id) with no gather and
+    no scatter in the AD transpose, and only the small irregular tables
+    ride the gather path (bonded_dense.py; the 100k scatter wall is
+    ~5 ms, TPU_NUMBERS_r04.md "Bonded-pass anatomy")."""
     out = {}
     # packed [x, y, z, type] rows (one 16-byte-row gather per term index
     # instead of a pos row gather + a type element gather), with EVERY
@@ -227,6 +240,20 @@ def bonded_energy_terms(spec: SimSpec, cfg, pos, box, type_id, q,
     # endpoint per family (scatters serialize on v5e)
     pos4 = jnp.concatenate(
         [pos, _sg(type_id.astype(pos.dtype))[:, None]], axis=-1)
+    use_dense = cfg.bonded_dense and dense is not None
+    if use_dense:
+        from .bonded_dense import roll_rows
+
+        bonds_dense, bonds_irr, angles_dense, angles_irr = dense
+        if cfg.bond_funcs:
+            _merge_add(out, bond_energies(spec, cfg.bond_funcs,
+                                          roll_rows(pos4, 2), box,
+                                          bonds_dense))
+        if cfg.angle_funcs:
+            _merge_add(out, angle_energies(spec, cfg.angle_funcs,
+                                           roll_rows(pos4, 3), box,
+                                           angles_dense))
+        bonds, angles = bonds_irr, angles_irr
     segs = []
     if cfg.bond_funcs:
         segs.append(("bonds", bonds.idx))
@@ -248,11 +275,11 @@ def bonded_energy_terms(spec: SimSpec, cfg, pos, box, type_id, q,
         parts[name] = rows_all[off:off + t * k].reshape(t, k, 4)
         off += t * k
     if cfg.bond_funcs:
-        out.update(bond_energies(spec, cfg.bond_funcs, parts["bonds"], box,
-                                 bonds))
+        _merge_add(out, bond_energies(spec, cfg.bond_funcs, parts["bonds"],
+                                      box, bonds))
     if cfg.angle_funcs:
-        out.update(angle_energies(spec, cfg.angle_funcs, parts["angles"],
-                                  box, angles))
+        _merge_add(out, angle_energies(spec, cfg.angle_funcs,
+                                       parts["angles"], box, angles))
     if cfg.dihedral_funcs:
         out.update(dihedral_energies(spec, cfg.dihedral_funcs,
                                      parts["dihedrals"], box, dihedrals))
@@ -262,12 +289,13 @@ def bonded_energy_terms(spec: SimSpec, cfg, pos, box, type_id, q,
 
 
 def bonded_forces(spec: SimSpec, cfg, pos, box, type_id, q,
-                  bonds, angles, dihedrals, pairs14):
+                  bonds, angles, dihedrals, pairs14, dense=None):
     """Forces = -grad(total bonded energy); returns (force, energy dict)."""
 
     def total(p):
         terms = bonded_energy_terms(spec, cfg, p, box, type_id, q,
-                                    bonds, angles, dihedrals, pairs14)
+                                    bonds, angles, dihedrals, pairs14,
+                                    dense=dense)
         tot = jnp.asarray(0.0, p.dtype)
         for v in terms.values():
             tot = tot + v

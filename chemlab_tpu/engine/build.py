@@ -84,6 +84,9 @@ class SimOptions:
     dtype: str = "float32"
     validate_tables: bool = False   # log per-table resampling error report
     use_pallas: bool | None = None   # None = env CHEMLAB_PALLAS=1
+    bonded_dense: bool | None = None  # None = env CHEMLAB_BONDED=dense;
+                                      # chain terms on rolled planes
+                                      # (bonded_dense.py)
 
 
 class ObsRegistry:
@@ -568,6 +571,17 @@ def apply_term_caps(cfg: EngineConfig, state, caps: dict,
     whose derived caps are smaller.  Returns (cfg, state)."""
     import jax.numpy as jnp
 
+    if cfg.bonded_dense:
+        # lockstep invariant (bonded_dense.rederive): the irregular caps
+        # track the canonical caps' deltas so irr_cap - (cap -
+        # n_aligned_static) never shrinks
+        caps = dict(caps)
+        if "bond_cap" in caps:
+            caps["bond_irr_cap"] = max(
+                cfg.bond_irr_cap + caps["bond_cap"] - cfg.bond_cap, 128)
+        if "angle_cap" in caps:
+            caps["angle_irr_cap"] = max(
+                cfg.angle_irr_cap + caps["angle_cap"] - cfg.angle_cap, 128)
     cfg = dataclasses.replace(cfg, **caps)
     state = dataclasses.replace(
         state,
@@ -575,6 +589,10 @@ def apply_term_caps(cfg: EngineConfig, state, caps: dict,
         angles=_repad_term_table(state.angles, cfg.angle_cap),
         dihedrals=_repad_term_table(state.dihedrals, cfg.dihedral_cap),
     )
+    if cfg.bonded_dense:
+        from . import bonded_dense
+
+        state = bonded_dense.rederive(cfg, state)
     if excl_pair_cap is not None and excl_pair_cap != state.excl.shape[0]:
         if excl_pair_cap < state.excl.shape[0]:
             if bool((state.excl[excl_pair_cap:, 0] >= 0).any()):
@@ -969,6 +987,33 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
     from ..units import COULOMB_PREFACTOR
     qq_pref = COULOMB_PREFACTOR * fudge_qq if opts.coulomb_cutoff > 0 else 0.0
     use_pallas = _pallas_enabled(opts, pair_arrays, qq_pref)
+
+    # -- dense-static bonded operands (bonded_dense.py) --
+    # irregular capacities obey the lockstep invariant irr_cap >= cap -
+    # n_aligned_static: static aligned rows can only be invalidated (never
+    # become irregular), so the irregular count is bounded by static-
+    # irregular rows + dynamic appends for the life of the system
+    bd_enable = (opts.bonded_dense if opts.bonded_dense is not None
+                 else os.environ.get("CHEMLAB_BONDED", "") == "dense")
+
+    def _n_aligned(idx_list, arity):
+        if not len(idx_list):
+            return 0
+        arr = np.asarray(idx_list, np.int64)
+        if arity == 2:
+            b_ = arr.min(1)
+            al = arr.max(1) == b_ + 1
+        else:
+            b_ = arr[:, 0]
+            al = np.all(arr == b_[:, None] + np.arange(arity)[None, :], axis=1)
+        al &= (b_ + arity - 1) < n_pad
+        uniq, cnt = np.unique(b_[al], return_counts=True)
+        return int(al.sum() - (cnt - 1).sum())
+
+    bond_irr_cap = _round_up(max(bond_cap - _n_aligned(b_idx, 2), 128),
+                             128) if bd_enable else 0
+    angle_irr_cap = _round_up(max(angle_cap - _n_aligned(a_idx, 3), 128),
+                              128) if bd_enable else 0
     # observed initial occupancies (host, cheap): caps must hold for the
     # starting configuration AND leave headroom for reactive densification
     frac = np.mod(coords.pos, box) / box
@@ -1213,6 +1258,9 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
         dihedral_cap=dih_cap,
         pair14_cap=pair14_cap,
         excl_cap=excl_cap,
+        bonded_dense=bd_enable,
+        bond_irr_cap=bond_irr_cap,
+        angle_irr_cap=angle_irr_cap,
         max_events=opts.max_events,
         n_reactions=n_r,
         n_groups=compiled.n_groups if compiled else 0,
@@ -1435,6 +1483,10 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
                                  atrp["ratio_deactivator"] if atrp else 0.0], F32),
         atrp_stats=jnp.zeros(2, I32),
     )
+    if cfg.bonded_dense:
+        from . import bonded_dense
+
+        state = bonded_dense.rederive(cfg, state)
 
     term_names = (["bond_f%d" % f for f in bond_funcs]
                   + ["angle_f%d" % f for f in angle_funcs]

@@ -27,6 +27,14 @@ from .spec import EngineConfig, SimSpec
 from .state import MDState
 
 
+def _dense_of(cfg: EngineConfig, state: MDState):
+    """The derived dense/irregular bonded operands, when enabled."""
+    if cfg.bonded_dense and state.bonds_dense is not None:
+        return (state.bonds_dense, state.bonds_irr,
+                state.angles_dense, state.angles_irr)
+    return None
+
+
 def compute_forces(spec: SimSpec, cfg: EngineConfig, state: MDState):
     """All conservative forces + per-term potential energies + conversions."""
     if cfg.needs_conversions:
@@ -62,7 +70,8 @@ def compute_forces(spec: SimSpec, cfg: EngineConfig, state: MDState):
             pps_birth=state.nbr.birth if cfg.has_pps else None)
     f_bond, e_bond = bonded_forces.bonded_forces(
         spec, cfg, state.pos, state.box, state.type_id, state.q,
-        state.bonds, state.angles, state.dihedrals, state.pairs14)
+        state.bonds, state.angles, state.dihedrals, state.pairs14,
+        dense=_dense_of(cfg, state))
     force = f_pair + f_bond
     # global CapForce extension (ref: start_simulation.py:321-324);
     # overflow-safe norm: sum(F^2) can exceed float32 range on overlaps
@@ -132,7 +141,8 @@ def virial_pressure(spec: SimSpec, cfg: EngineConfig, state: MDState):
     def u_bonded(s):
         e_bond = bonded_forces.bonded_energy_terms(
             spec, cfg, state.pos * s, state.box * s, state.type_id, state.q,
-            state.bonds, state.angles, state.dihedrals, state.pairs14)
+            state.bonds, state.angles, state.dihedrals, state.pairs14,
+            dense=_dense_of(cfg, state))
         tot = jnp.asarray(0.0, state.pos.dtype)
         for v in e_bond.values():
             tot = tot + v

@@ -22,26 +22,43 @@ from .spec import EngineConfig, SimSpec
 from .state import MDState
 
 
-def _hybrid_lambda_ramp(spec: SimSpec, state: MDState) -> MDState:
+def _hybrid_lambda_ramp(spec: SimSpec, state: MDState,
+                        cfg: EngineConfig = None) -> MDState:
     """Per-step lambda ramp for reaction-created (hybrid) bonds
     (FixedListDynamicResolution; ref: start_simulation.py:289-293), plus the
     angle/dihedral variants (t_hybrid_angle/t_hybrid_dihedral): any term
-    whose lambda sits below 1 was created fading-in and ramps up."""
-    lam = state.bonds.lam
-    ramp = jnp.where((state.bonds.group >= 0) & (lam < 1.0),
-                     jnp.minimum(lam + spec.hybrid_bond_rate, 1.0), lam)
-    angles, dihedrals = state.angles, state.dihedrals
-    a_lam = jnp.where(angles.lam < 1.0,
-                      jnp.minimum(angles.lam + spec.hybrid_angle_rate, 1.0),
-                      angles.lam)
+    whose lambda sits below 1 was created fading-in and ramps up.
+
+    The dense/irregular bonded operands carry COPIES of lam/group
+    (bonded_dense.py); the same elementwise rule applied to the copies
+    keeps them in lockstep with the canonical tables between the
+    reaction-interval re-derivations."""
+    def bond_ramp(t):
+        lam = jnp.where((t.group >= 0) & (t.lam < 1.0),
+                        jnp.minimum(t.lam + spec.hybrid_bond_rate, 1.0),
+                        t.lam)
+        return dataclasses.replace(t, lam=lam)
+
+    def angle_ramp(t):
+        lam = jnp.where(t.lam < 1.0,
+                        jnp.minimum(t.lam + spec.hybrid_angle_rate, 1.0),
+                        t.lam)
+        return dataclasses.replace(t, lam=lam)
+
+    dihedrals = state.dihedrals
     d_lam = jnp.where(dihedrals.lam < 1.0,
                       jnp.minimum(dihedrals.lam + spec.hybrid_dihedral_rate, 1.0),
                       dihedrals.lam)
-    return dataclasses.replace(
-        state,
-        bonds=dataclasses.replace(state.bonds, lam=ramp),
-        angles=dataclasses.replace(angles, lam=a_lam),
+    upd = dict(
+        bonds=bond_ramp(state.bonds),
+        angles=angle_ramp(state.angles),
         dihedrals=dataclasses.replace(dihedrals, lam=d_lam))
+    if cfg is not None and cfg.bonded_dense and state.bonds_dense is not None:
+        upd.update(bonds_dense=bond_ramp(state.bonds_dense),
+                   bonds_irr=bond_ramp(state.bonds_irr),
+                   angles_dense=angle_ramp(state.angles_dense),
+                   angles_irr=angle_ramp(state.angles_irr))
+    return dataclasses.replace(state, **upd)
 
 
 def step_with_extensions(spec: SimSpec, cfg: EngineConfig, state: MDState,
@@ -49,13 +66,18 @@ def step_with_extensions(spec: SimSpec, cfg: EngineConfig, state: MDState,
     """One MD step + interval-gated extensions (the engine hot loop)."""
     state = integrate.md_step(spec, cfg, state)
     if cfg.has_reactions:
-        state = _hybrid_lambda_ramp(spec, state)
+        state = _hybrid_lambda_ramp(spec, state, cfg)
         fire = state.reactions_on & (state.step % cfg.reaction_interval == 0)
-        state = jax.lax.cond(
-            fire,
-            lambda st: reactions.reaction_step(spec, cfg, st, rng_seed),
-            lambda st: st,
-            state)
+
+        def _fire(st):
+            st = reactions.reaction_step(spec, cfg, st, rng_seed)
+            # reaction intervals are the only in-jit site where the term
+            # tables change: refresh the dense-static bonded operands here
+            from . import bonded_dense
+
+            return bonded_dense.rederive(cfg, st)
+
+        state = jax.lax.cond(fire, _fire, lambda st: st, state)
     if cfg.has_atrp:
         fire = state.reactions_on & (state.step % cfg.atrp_interval == 0)
         state = jax.lax.cond(

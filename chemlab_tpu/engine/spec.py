@@ -141,6 +141,17 @@ class EngineConfig:
                                     # 9/10/12/17): the b-table interpolation
                                     # (a second gather pass) is compiled only
                                     # when this is set
+    # -- dense-static bonded operands (bonded_dense.py) --
+    # Chain terms with consecutive endpoint ids evaluate on rolled planes
+    # (slot = base particle id): zero gather forward, zero scatter in the
+    # AD transpose.  The irregular remainder (reactive crosslinks) keeps
+    # the gather path at a small capacity that grows in lockstep with the
+    # canonical caps (irr count is bounded by static-irregular + dynamic
+    # appends; aligned static rows can only be invalidated, never become
+    # irregular).
+    bonded_dense: bool = False
+    bond_irr_cap: int = 0
+    angle_irr_cap: int = 0
     # Active device mesh (jax.sharding.Mesh, hashable) for row-sharding
     # constraints on the rebuild's (N, S*cap) candidate planes — GSPMD loses
     # the row partitioning across the rebuild's gather/sort boundaries

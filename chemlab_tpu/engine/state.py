@@ -172,6 +172,15 @@ class MDState:
     ev_log_r: jnp.ndarray          # (E,) int32
     ev_log_dist: jnp.ndarray       # (E,) float32
 
+    # dense-static bonded operands (cfg.bonded_dense; None otherwise):
+    # DERIVED views of bonds/angles (bonded_dense.derive_aligned),
+    # refreshed at build and at the end of every reaction interval —
+    # the canonical tables above stay the source of truth
+    bonds_dense: TermTable | None = None
+    bonds_irr: TermTable | None = None
+    angles_dense: TermTable | None = None
+    angles_irr: TermTable | None = None
+
     @property
     def n_particles(self) -> int:
         return self.pos.shape[0]

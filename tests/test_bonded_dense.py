@@ -172,3 +172,71 @@ def test_duplicate_base_and_overflow():
     bonds2 = _append_rows(st.bonds, rows)
     _, _, ovf2 = bonded_dense.derive_aligned(bonds2, n, 8)
     assert bool(ovf2)
+
+
+def test_wired_reactive_run_stays_in_lockstep():
+    """cfg.bonded_dense end-to-end: build with the flag, run through
+    reaction intervals (events append irregular bonds + angles, hybrid
+    lambdas ramp), then assert (a) step-0 forces match a flag-off build
+    exactly, (b) after the run the dense+irregular evaluation still
+    reproduces the canonical gather evaluation on the SAME state — i.e.
+    the derived copies tracked every mutation."""
+    import os
+
+    from chemlab_tpu.engine import build as build_mod
+    from chemlab_tpu.engine import integrate
+
+    built_d, systop, _ = testsystems.build_melt(n_mols=120, reactive=True,
+                                                bonded_dense=True)
+    built_g, _, _ = testsystems.build_melt(n_mols=120, reactive=True,
+                                           bonded_dense=False)
+    assert built_d.cfg.bonded_dense and not built_g.cfg.bonded_dense
+    assert built_d.state.bonds_dense is not None
+    assert built_g.state.bonds_dense is None
+
+    # (a) step-0 force agreement between the two paths
+    f_d, e_d, _ = integrate.compute_forces(built_d.spec, built_d.cfg,
+                                           built_d.state)
+    f_g, e_g, _ = integrate.compute_forces(built_g.spec, built_g.cfg,
+                                           built_g.state)
+    scale = max(float(jnp.max(jnp.abs(f_g))), 1.0)
+    assert float(jnp.max(jnp.abs(f_d - f_g))) <= 1e-4 * scale
+    for k in e_g:
+        assert abs(float(e_d[k]) - float(e_g[k])) <= 1e-4 * max(
+            abs(float(e_g[k])), 1.0)
+
+    # (b) run with reactions; dense bookkeeping must survive events+ramps
+    spec, cfg = built_d.spec, built_d.cfg
+    st = runner.initial_forces(spec, cfg, built_d.state)
+    st = testsystems.warmup(built_d, st, steps=60)
+    st = testsystems.activate_initiators(built_d, systop, st, n=6)
+    st = runner.run_block(spec, cfg, st, 250)
+    m = runner.measure(spec, cfg, st)
+    assert np.isfinite(float(m["epot"]))
+    assert not bool(m["overflow"])
+
+    n_bonds = int(jnp.sum(st.bonds.valid))
+    nd = int(jnp.sum(st.bonds_dense.idx[:, 0] >= 0))
+    ni = int(jnp.sum(st.bonds_irr.idx[:, 0] >= 0))
+    assert nd + ni == n_bonds
+
+    # canonical-vs-dense evaluation on the SAME post-run state
+    def e_total(use_dense):
+        f, terms = bonded_forces.bonded_forces(
+            spec, cfg, st.pos, st.box, st.type_id, st.q,
+            st.bonds, st.angles, st.dihedrals, st.pairs14,
+            dense=(st.bonds_dense, st.bonds_irr, st.angles_dense,
+                   st.angles_irr) if use_dense else None)
+        return f, sum(terms.values())
+
+    f1, e1 = e_total(True)
+    # force the gather path by evaluating with a flag-off cfg clone
+    import dataclasses as dc
+    cfg_off = dc.replace(cfg, bonded_dense=False)
+    f0, terms0 = bonded_forces.bonded_forces(
+        spec, cfg_off, st.pos, st.box, st.type_id, st.q,
+        st.bonds, st.angles, st.dihedrals, st.pairs14)
+    e0 = sum(terms0.values())
+    assert abs(float(e1) - float(e0)) <= 1e-5 * max(abs(float(e0)), 1.0)
+    scale = max(float(jnp.max(jnp.abs(f0))), 1.0)
+    assert float(jnp.max(jnp.abs(f1 - f0))) <= 1e-4 * scale
