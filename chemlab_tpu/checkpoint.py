@@ -10,10 +10,25 @@ PRNG key, reaction rates/counters, FixDistances constraints, barostat piston.
 
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+# Derived state excluded from the on-disk format: the dense/irregular bonded
+# operands are pure functions of the canonical bonds/angles tables
+# (engine.bonded_dense.rederive), so they are stripped on save and rebuilt on
+# load.  This also makes checkpoints portable across the CHEMLAB_BONDED
+# default flip — files never carry the derived subtrees either way.
+_DERIVED_FIELDS = ("bonds_dense", "bonds_irr", "angles_dense", "angles_irr")
+
+
+def _strip_derived(state):
+    if getattr(state, _DERIVED_FIELDS[0], None) is None:
+        return state
+    return dataclasses.replace(state, **{f: None for f in _DERIVED_FIELDS})
 
 
 def save_state(path: str, state, cfg=None) -> None:
@@ -22,7 +37,7 @@ def save_state(path: str, state, cfg=None) -> None:
     build whose derived caps are smaller."""
     from .engine import build
 
-    leaves, treedef = jax.tree_util.tree_flatten(state)
+    leaves, treedef = jax.tree_util.tree_flatten(_strip_derived(state))
     arrays = {"__n__": np.asarray(len(leaves))}
     for i, leaf in enumerate(leaves):
         arrays["leaf_%d" % i] = np.asarray(leaf)
@@ -64,11 +79,19 @@ def load_state(path: str, template, cfg=None, spec=None):
                 or excl_pair_cap != template.excl.shape[0]):
             cfg, template = build.apply_term_caps(cfg, template, tcaps,
                                                   excl_pair_cap)
-    leaves, treedef = jax.tree_util.tree_flatten(template)
+    has_dense = getattr(template, _DERIVED_FIELDS[0], None) is not None
+    stripped = _strip_derived(template)
+    leaves, treedef = jax.tree_util.tree_flatten(stripped)
     n = int(data["__n__"])
     if n != len(leaves):
-        raise ValueError("checkpoint has %d leaves, state needs %d"
-                         % (n, len(leaves)))
+        # migration: files written before the derived-subtree strip carry
+        # the 4 dense/irregular TermTables as TRAILING leaves (the fields
+        # are declared last in MDState) — accept and ignore them
+        n_extra_ok = (len(jax.tree_util.tree_leaves(template))
+                      - len(leaves)) if has_dense else 0
+        if not (n_extra_ok and n == len(leaves) + n_extra_ok):
+            raise ValueError("checkpoint has %d leaves, state needs %d"
+                             % (n, len(leaves)))
     new_leaves = []
     for i, leaf in enumerate(leaves):
         arr = data["leaf_%d" % i]
@@ -78,4 +101,15 @@ def load_state(path: str, template, cfg=None, spec=None):
                              % (i, arr.shape, tuple(leaf.shape)))
         new_leaves.append(jnp.asarray(arr, leaf.dtype))
     state = jax.tree_util.tree_unflatten(treedef, new_leaves)
+    if has_dense:
+        # rebuild the derived operands from the restored canonical tables
+        from .engine import bonded_dense
+
+        npart = state.pos.shape[0]
+        bdn, bir, _ = bonded_dense.derive_aligned(
+            state.bonds, npart, template.bonds_irr.capacity)
+        adn, air, _ = bonded_dense.derive_aligned(
+            state.angles, npart, template.angles_irr.capacity)
+        state = dataclasses.replace(state, bonds_dense=bdn, bonds_irr=bir,
+                                    angles_dense=adn, angles_irr=air)
     return (state, cfg) if want_cfg else state

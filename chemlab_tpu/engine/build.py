@@ -997,8 +997,14 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
     # reactive 4.49M->5.39M pps; 10k fused 4.81M->5.16M pps — the rolled-
     # plane eval beats the gather/scatter path at both scales);
     # CHEMLAB_BONDED=gather opts back out
+    bd_env = os.environ.get("CHEMLAB_BONDED", "")
+    if bd_env not in ("", "dense", "gather"):
+        import warnings
+        warnings.warn("CHEMLAB_BONDED=%r unrecognized (expected 'dense' or "
+                      "'gather'); using the default dense path" % bd_env)
+        bd_env = "dense"
     bd_enable = (opts.bonded_dense if opts.bonded_dense is not None
-                 else os.environ.get("CHEMLAB_BONDED", "") != "gather")
+                 else bd_env != "gather")
 
     def _n_aligned(idx_list, arity):
         if not len(idx_list):

@@ -1154,10 +1154,20 @@ def freeze_region_step(spec: SimSpec, cfg: EngineConfig,
         adj = jnp.where(dead[:, None], -1, adj)
         e = st.excl
         bad_e = jnp.any(jnp.where(e >= 0, dead[jnp.maximum(e, 0)], False), -1)
-        return dataclasses.replace(
-            st, bonds=scrub(st.bonds), angles=scrub(st.angles),
-            dihedrals=scrub(st.dihedrals), adj=adj,
-            excl=jnp.where(bad_e[:, None], -1, e))
+        upd = dict(bonds=scrub(st.bonds), angles=scrub(st.angles),
+                   dihedrals=scrub(st.dihedrals), adj=adj,
+                   excl=jnp.where(bad_e[:, None], -1, e))
+        if cfg.bonded_dense and st.bonds_dense is not None:
+            # the dense/irregular bonded operands are DERIVED copies of
+            # bonds/angles (bonded_dense.py); they are only re-derived at
+            # reaction intervals, so a removal here must scrub them too or
+            # removed particles keep exerting bonded forces through the
+            # stale copies (forever when has_freeze without has_reactions)
+            upd.update(bonds_dense=scrub(st.bonds_dense),
+                       bonds_irr=scrub(st.bonds_irr),
+                       angles_dense=scrub(st.angles_dense),
+                       angles_irr=scrub(st.angles_irr))
+        return dataclasses.replace(st, **upd)
 
     return jax.lax.cond(jnp.any(hit & spec.fr_remove), cleanup,
                         lambda s: s, state)

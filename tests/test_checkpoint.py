@@ -29,6 +29,36 @@ def test_checkpoint_roundtrip_bit_exact(tmp_path):
     assert int(a.step) == int(b.step)
 
 
+def test_checkpoint_portable_across_bonded_dense_flag(tmp_path):
+    """The derived dense/irregular bonded operands are stripped on save and
+    re-derived on load, so a checkpoint round-trips across the
+    CHEMLAB_BONDED default flip: save under dense-on, restore under
+    dense-off (and back) — same canonical state either way."""
+    built_on, systop, _ = testsystems.build_melt(n_mols=60, reactive=True,
+                                                 max_events=16)
+    st = runner.initial_forces(built_on.spec, built_on.cfg, built_on.state)
+    st = runner.run_block(built_on.spec, built_on.cfg, st, 20)
+    assert built_on.cfg.bonded_dense and st.bonds_dense is not None
+
+    path = str(tmp_path / "state.npz")
+    checkpoint.save_state(path, st)
+
+    # restore into a dense-OFF build: no derived subtrees expected
+    built_off, _, _ = testsystems.build_melt(n_mols=60, reactive=True,
+                                             max_events=16,
+                                             bonded_dense=False)
+    st_off = checkpoint.load_state(path, built_off.state)
+    assert st_off.bonds_dense is None
+    assert np.array_equal(np.asarray(st_off.bonds.idx), np.asarray(st.bonds.idx))
+    assert np.array_equal(np.asarray(st_off.pos), np.asarray(st.pos))
+
+    # and back into a dense-ON template: derived operands are rebuilt
+    st_on = checkpoint.load_state(path, built_on.state)
+    assert st_on.bonds_dense is not None
+    assert np.array_equal(np.asarray(st_on.bonds_dense.idx),
+                          np.asarray(st.bonds_dense.idx))
+
+
 def test_checkpoint_restores_after_cap_regrowth(tmp_path):
     """A checkpoint written AFTER grow_neighbor_caps regrowth restores into a
     freshly built system (whose derived caps are the original, smaller ones)

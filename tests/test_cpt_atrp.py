@@ -217,8 +217,16 @@ def test_freeze_remove_cleans_topology():
     act = np.asarray(st2.active)
     removed = np.asarray(st.active) & ~act
     assert removed.sum() > 0
-    # no valid bond/angle references a removed particle
-    for table in (st2.bonds, st2.angles):
+    # no valid bond/angle references a removed particle — including the
+    # DERIVED dense/irregular bonded operands (default-on bonded_dense),
+    # which are only re-derived at reaction intervals and so must be
+    # scrubbed by the removal cleanup itself
+    tables = [st2.bonds, st2.angles]
+    if built.cfg.bonded_dense:
+        assert st2.bonds_dense is not None
+        tables += [st2.bonds_dense, st2.bonds_irr,
+                   st2.angles_dense, st2.angles_irr]
+    for table in tables:
         idx = np.asarray(table.idx)
         valid = idx[:, 0] >= 0
         assert not removed[idx[valid]].any()
