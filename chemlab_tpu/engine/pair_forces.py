@@ -65,6 +65,7 @@ def pair_forces(spec: SimSpec, n_types: int, pos, box, type_id, q, lam, nbr_idx,
     has_qq = cfg is None or cfg.has_coulomb
     has_cap = cfg is None or cfg.has_caps
     has_lam = cfg is None or cfg.has_lambda_pairs
+    has_mix = cfg is None or cfg.has_mixed_tables
     n = pos.shape[0]
     j = nbr_idx
     # ONE wide gather of (N, K, 4) packed [x, y, z, type], then per-axis
@@ -92,11 +93,28 @@ def pair_forces(spec: SimSpec, n_types: int, pos, box, type_id, q, lam, nbr_idx,
     tj = pj[..., 3].astype(jnp.int32)       # exact: type ids << 2^24
     p = ti * n_types + tj
 
-    kind = spec.pair_kind[p]
-    in_cut = r2 < spec.pair_cutoff2[p]
+    # Per-type-pair parameters ride PACKED 16-byte rows assembled host-side
+    # cheap on (T^2,) columns: every additional per-pair (N, K) gather costs
+    # ~10 ms at 100k on v5e (the gather wall), so kind/cutoff2/table/r0/dr
+    # come back in ONE row gather instead of five.  The combo channel packs
+    # [kind | lam_flag | tab_id] as exact small ints in f32.
+    lam_flag = spec.pair_lam_scale.astype(jnp.float32) if has_lam else \
+        jnp.zeros_like(spec.pair_cutoff2)
+    combo = (spec.pair_kind.astype(jnp.float32) + 4.0 * lam_flag
+             + 8.0 * tab_a.astype(jnp.float32))
+    row_a = jnp.stack([spec.pair_cutoff2, combo,
+                       spec.nb_r0[tab_a], spec.nb_dr[tab_a]], axis=-1)
+    ra = row_a[p]                           # (N, K, 4)
+    c_int = ra[..., 1].astype(jnp.int32)
+    kind = c_int & 3
+    in_cut = r2 < ra[..., 0]
     zero = jnp.zeros_like(r2)
     if has_cap:
-        caprad = spec.pair_caprad[p]
+        row_c = jnp.stack([spec.pair_caprad, spec.pair_max_force,
+                           jnp.zeros_like(spec.pair_caprad),
+                           jnp.zeros_like(spec.pair_caprad)], axis=-1)
+        rc_ = row_c[p]
+        caprad = rc_[..., 0]
         r_eff = jnp.where(caprad > 0.0, jnp.maximum(r, caprad), r)
         above_cap = r >= caprad
     else:
@@ -106,12 +124,15 @@ def pair_forces(spec: SimSpec, n_types: int, pos, box, type_id, q, lam, nbr_idx,
 
     # ---- Lennard-Jones ----
     if has_lj:
-        sig = spec.pair_sig[p]
-        eps = spec.pair_eps[p]
+        row_l = jnp.stack([spec.pair_sig, spec.pair_eps, spec.pair_shift,
+                           jnp.zeros_like(spec.pair_sig)], axis=-1)
+        rl = row_l[p]
+        sig = rl[..., 0]
+        eps = rl[..., 1]
         s2 = (sig * sig) / (r_eff * r_eff)
         s6 = s2 * s2 * s2
         lj_mask = mask & (kind == PAIR_LJ) & in_cut
-        e_lj = jnp.where(lj_mask, 4.0 * eps * (s6 * s6 - s6) - spec.pair_shift[p], 0.0)
+        e_lj = jnp.where(lj_mask, 4.0 * eps * (s6 * s6 - s6) - rl[..., 2], 0.0)
         # F(r)/r with F = -dU/dr; zero below caprad (flat capped energy)
         f_lj = jnp.where(lj_mask & above_cap,
                          48.0 * eps * (s6 * s6 - 0.5 * s6) / (r_eff * r_eff), 0.0)
@@ -122,10 +143,20 @@ def pair_forces(spec: SimSpec, n_types: int, pos, box, type_id, q, lam, nbr_idx,
     if has_tab:
         tab_mask = mask & (kind == PAIR_TAB) & in_cut
         # one interleaved-row gather fetches both interpolation endpoints
-        # (the gather count is the dominant per-step cost of this path)
-        ea, fa = tables.interpolate4(spec.nb_ef4, spec.nb_r0, spec.nb_dr,
-                                     tab_a[p], r_eff)
-        if cfg is None or cfg.has_mixed_tables:
+        # (the gather count is the dominant per-step cost of this path);
+        # the flat-index form with row-sourced r0/dr is op-for-op identical
+        # to tables.interpolate4 (same f32 values, same division/clip/blend)
+        n_bins = spec.nb_ef4.shape[1]
+        ef4_flat = spec.nb_ef4.reshape(-1, 4)
+        ta = c_int >> 3
+        u = (r_eff - ra[..., 2]) / ra[..., 3]
+        u = jnp.clip(u, 0.0, n_bins - 1.000001)
+        i0 = u.astype(jnp.int32)
+        frac = (u - i0)[..., None]
+        v = ef4_flat[ta * n_bins + i0]
+        ef_ab = v[..., :2] * (1.0 - frac) + v[..., 2:] * frac
+        ea, fa = ef_ab[..., 0], ef_ab[..., 1]
+        if has_mix:
             eb, fb = tables.interpolate4(spec.nb_ef4, spec.nb_r0, spec.nb_dr,
                                          tab_b[p], r_eff)
             xm = mix_x[p]
@@ -140,7 +171,7 @@ def pair_forces(spec: SimSpec, n_types: int, pos, box, type_id, q, lam, nbr_idx,
 
     # ---- dynamic-resolution lambda scaling ----
     if has_lam:
-        w = jnp.where(spec.pair_lam_scale[p], lam[:, None] * lam[j], 1.0)
+        w = jnp.where((c_int & 4) > 0, lam[:, None] * lam[j], 1.0)
         e_lj, f_lj = e_lj * w, f_lj * w
         e_tab, f_tab = e_tab * w, f_tab * w
 
@@ -157,7 +188,7 @@ def pair_forces(spec: SimSpec, n_types: int, pos, box, type_id, q, lam, nbr_idx,
     # ---- per-pair force cap ----
     f_nb = f_lj + f_tab
     if has_cap:
-        fmax = spec.pair_max_force[p]
+        fmax = rc_[..., 1]
         fmag = jnp.abs(f_nb) * r
         scale = jnp.where((fmax > 0.0) & (fmag > fmax),
                           fmax / jnp.maximum(fmag, 1e-30), 1.0)
