@@ -385,9 +385,16 @@ def _build_pair_tables(systop: SystemTopology, opts: SimOptions, nb_tb, obs: Obs
     return out, mix_entries
 
 
-def _pallas_enabled(opts, pair_arrays, qq_pref) -> bool:
+def _pallas_enabled(opts, pair_arrays, qq_pref, cell_dims,
+                    n_mix: int = 0) -> tuple:
     """Gate the pallas cell-tile pair kernel: explicit/env opt-in AND the
-    system's nonbonded physics fits the kernel's scope."""
+    system's nonbonded physics fits the kernel's scope.
+
+    Returns (use_pallas, cheb_candidate): ``cheb_candidate`` means the
+    system is tabulated and kernel-eligible PROVIDED the per-table Chebyshev
+    fits validate (tab_cheb.fit_stack, run after the table stack is built);
+    the caller must fall back to the XLA row path if they don't.
+    """
     import os as _os
 
     want = opts.use_pallas
@@ -400,17 +407,24 @@ def _pallas_enabled(opts, pair_arrays, qq_pref) -> bool:
             # pallas is slower than XLA on CPU)
             want = jax.default_backend() == "tpu"
     if not want:
-        return False
+        return False, False
     from . import pallas_pair
 
     if qq_pref > 0:
         logger.warning("pallas pair kernel disabled: coulomb not supported")
-        return False
-    if not pallas_pair.supports(None, pair_arrays):
-        logger.warning("pallas pair kernel disabled: unsupported pair variant "
-                       "(mixing/caps/lambda/tabulated)")
-        return False
-    return True
+        return False, False
+    if pallas_pair.supports(None, pair_arrays):
+        return True, False
+    # tabulated systems ride the colt2 kernel via Chebyshev-compressed
+    # tables (tab_cheb.py) when the geometry admits colt2 (full 27-stencil,
+    # cap % 8) and no per-pair feature outside the cheb scope is present
+    if (n_mix == 0 and pallas_pair.supports_cheb(pair_arrays)
+            and min(int(d) for d in cell_dims) >= 3
+            and (opts.cell_cap is None or opts.cell_cap % 8 == 0)):
+        return True, True
+    logger.warning("pallas pair kernel disabled: unsupported pair variant "
+                   "(mixing/caps/lambda/pps) or colt2-ineligible geometry")
+    return False, False
 
 
 def _host_components(n, bonds):
@@ -986,7 +1000,9 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
                 else systop.defaults.get("fudgeQQ", 1.0))
     from ..units import COULOMB_PREFACTOR
     qq_pref = COULOMB_PREFACTOR * fudge_qq if opts.coulomb_cutoff > 0 else 0.0
-    use_pallas = _pallas_enabled(opts, pair_arrays, qq_pref)
+    use_pallas, cheb_candidate = _pallas_enabled(opts, pair_arrays, qq_pref,
+                                                 cell_dims,
+                                                 n_mix=len(mix_entries))
 
     # -- dense-static bonded operands (bonded_dense.py) --
     # irregular capacities obey the lockstep invariant irr_cap >= cap -
@@ -1148,6 +1164,37 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
 
     # ---- stacks ----
     nb_stack = nb_tb.build()
+
+    # ---- Chebyshev fits for the pallas tabulated fast path ----
+    # (tab_cheb.py; decided per table at build — any failed fit sends the
+    # whole system back to the exact XLA row path)
+    cheb_fit = None
+    if use_pallas and cheb_candidate:
+        from . import tab_cheb
+
+        used_tabs = np.zeros(nb_stack.ef.shape[0], bool)
+        is_tab_pair = pair_arrays["pair_kind"] == PAIR_TAB
+        used_tabs[pair_arrays["pair_tab_a"][is_tab_pair]] = True
+        used_tabs[pair_arrays["pair_tab_b"][is_tab_pair]] = True
+        ef4_host = tables.interleave4(nb_stack.ef)
+        cheb_fit = tab_cheb.fit_stack(ef4_host, nb_stack.r0, nb_stack.dr,
+                                      used_tabs)
+        if cheb_fit is None:
+            use_pallas = False
+            # re-size the cell cap for the row path's fat-margin policy
+            if opts.cell_cap is None:
+                cell_vol = float(np.prod(box / np.asarray(cell_dims)))
+                cell_cap = _round_up(max(int(density * cell_vol * 3.0) + 8,
+                                         int(obs_cell_max * 1.3) + 4, 8), 8)
+            logger.warning("tabulated fast path disabled: a pair table "
+                           "failed Chebyshev fit validation — exact XLA "
+                           "row path selected")
+        else:
+            logger.info("tabulated fast path: %d tables fit (kw=%d ko=%d, "
+                        "worst err %.2e)", int(used_tabs.sum()),
+                        cheb_fit.kw, cheb_fit.ko,
+                        float(cheb_fit.err[used_tabs].max()))
+
     bond_stack = bond_tb.build()
     angle_stack = angle_tb.build()
     dih_stack = dih_tb.build()
@@ -1298,6 +1345,9 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
                                or (pair_arrays["pair_mix_mode"] == MIX_OBS).any()),
         use_pallas=use_pallas,
         lazy_rows=use_pallas,
+        tab_cheb=cheb_fit is not None,
+        cheb_kw=cheb_fit.kw if cheb_fit is not None else 0,
+        cheb_ko=cheb_fit.ko if cheb_fit is not None else 0,
         uniform_lj=bool(
             (pair_arrays["pair_kind"] == PAIR_LJ).all()
             and all(np.unique(pair_arrays[k]).size == 1
@@ -1385,6 +1435,17 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
         nb_ef4=jnp.asarray(tables.interleave4(nb_stack.ef)),
         nb_r0=jnp.asarray(nb_stack.r0),
         nb_dr=jnp.asarray(nb_stack.dr),
+        **({} if cheb_fit is None else dict(
+            cheb_wall_g=jnp.asarray(cheb_fit.wall_g),
+            cheb_wall_e=jnp.asarray(cheb_fit.wall_e),
+            cheb_well_g=jnp.asarray(cheb_fit.well_g),
+            cheb_well_e=jnp.asarray(cheb_fit.well_e),
+            cheb_ay=jnp.asarray(cheb_fit.ay),
+            cheb_by=jnp.asarray(cheb_fit.by),
+            cheb_ax=jnp.asarray(cheb_fit.ax),
+            cheb_bx=jnp.asarray(cheb_fit.bx),
+            cheb_rs2=jnp.asarray(cheb_fit.rs2),
+            cheb_rcap2=jnp.asarray(cheb_fit.rcap2))),
         bond_ef=jnp.asarray(bond_stack.ef), bond_r0=jnp.asarray(bond_stack.r0),
         bond_dr=jnp.asarray(bond_stack.dr),
         angle_ef=jnp.asarray(angle_stack.ef), angle_r0=jnp.asarray(angle_stack.r0),

@@ -53,10 +53,13 @@ def compute_forces(spec: SimSpec, cfg: EngineConfig, state: MDState):
             state.pos, state.type_id, state.active, state.box,
             state.nbr.buckets, cfg.cell_dims, spec,
             cfg.n_types, cfg.cell_cap, interpret=interpret,
-            uniform_lj=cfg.uniform_lj, slot_of=state.nbr.slot_of)
+            uniform_lj=cfg.uniform_lj, slot_of=state.nbr.slot_of,
+            cheb_kw=cfg.cheb_kw if cfg.tab_cheb else 0,
+            cheb_ko=cfg.cheb_ko)
         f_ex, e_lj_ex, e_tab_ex, _ = pallas_pair.excluded_pair_correction(
             spec, cfg.n_types, state.pos, state.box, state.type_id, state.excl,
-            active=state.active, has_tab=cfg.has_tabulated)
+            active=state.active, has_tab=cfg.has_tabulated,
+            cheb=(cfg.cheb_kw, cfg.cheb_ko) if cfg.tab_cheb else None)
         f_pair = f_all - f_ex
         e_pair = {"lj": e_lj_all - e_lj_ex, "lj-tab": e_tab_all - e_tab_ex,
                   "coulomb": jnp.asarray(0.0, state.pos.dtype)}
@@ -157,10 +160,13 @@ def virial_pressure(spec: SimSpec, cfg: EngineConfig, state: MDState):
             state.nbr.buckets, cfg.cell_dims, spec,
             cfg.n_types, cfg.cell_cap, interpret=interpret,
             uniform_lj=cfg.uniform_lj, slot_of=state.nbr.slot_of,
-            want_virial=True)
+            want_virial=True,
+            cheb_kw=cfg.cheb_kw if cfg.tab_cheb else 0,
+            cheb_ko=cfg.cheb_ko)
         _, _, _, w_ex = pallas_pair.excluded_pair_correction(
             spec, cfg.n_types, state.pos, state.box, state.type_id,
-            state.excl, active=state.active, has_tab=cfg.has_tabulated)
+            state.excl, active=state.active, has_tab=cfg.has_tabulated,
+            cheb=(cfg.cheb_kw, cfg.cheb_ko) if cfg.tab_cheb else None)
         w = (w_all - w_ex) - jax.grad(u_bonded)(
             jnp.asarray(1.0, state.pos.dtype))
     else:

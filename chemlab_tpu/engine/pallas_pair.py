@@ -52,6 +52,29 @@ def supports(cfg, spec_np) -> bool:
     return True
 
 
+def supports_cheb(spec_np) -> bool:
+    """Static gate for the Chebyshev-compressed tabulated fast path
+    (tab_cheb.py): PURE tabulated systems only — caps, per-pair force
+    caps, lambda scaling, table mixing, pair-age ramps AND mixed LJ+tab
+    type maps stay on the exact XLA row path (pure-tab keeps the kernel's
+    single spare output channel an exact per-term energy).  The per-table
+    fit validation (the other half of the gate) runs in build once the
+    table stack exists."""
+    kinds = spec_np["pair_kind"]
+    if not (kinds == PAIR_TAB).any():
+        return False
+    if ((kinds == PAIR_LJ).any()
+            or (kinds > PAIR_TAB).any()
+            or (spec_np["pair_caprad"] > 0).any()
+            or (spec_np["pair_max_force"] > 0).any()
+            or spec_np["pair_lam_scale"].any()
+            or (spec_np["pair_mix_mode"] != 0).any()
+            or (spec_np["pair_tab_b"] != spec_np["pair_tab_a"]).any()
+            or (spec_np["pair_pps_incr"] > 0).any()):
+        return False
+    return True
+
+
 def stencil_table(dims) -> np.ndarray:
     """(n_cells, S) neighbor cell ids, S <= 27 (deduplicated for tiny grids)."""
     from .neighbor import neighbor_cell_offsets
@@ -886,7 +909,8 @@ def _colt_kernel(*refs, cap: int, n_types_pad: int, nz: int,
 
 def _colt2_kernel(*refs, cap: int, n_types_pad: int, nz: int,
                   self_col: int, n_cols_u: int, n_packets: int,
-                  uniform_lj: bool = False, want_virial: bool = False):
+                  uniform_lj: bool = False, want_virial: bool = False,
+                  cheb_kw: int = 0, cheb_ko: int = 0, lj_on: bool = True):
     """Rolled variant of _colt_kernel.
 
     The original colt kernel fully unrolls nz x n_packets x n_cols_u tile
@@ -913,7 +937,8 @@ def _colt2_kernel(*refs, cap: int, n_types_pad: int, nz: int,
     box_ref = refs[2 + n_cols_u]
     sig_ref, eps_ref, cut2_ref, shift_ref, islj_ref = \
         refs[3 + n_cols_u:8 + n_cols_u]
-    out_ref = refs[8 + n_cols_u]
+    cheb_ref = refs[8 + n_cols_u] if cheb_kw else None
+    out_ref = refs[(9 if cheb_kw else 8) + n_cols_u]
 
     out_ref[...] = jnp.zeros_like(out_ref)
     box = box_ref[0]
@@ -931,9 +956,18 @@ def _colt2_kernel(*refs, cap: int, n_types_pad: int, nz: int,
             tj_oh_t = (xj[4][None, :] == iota_t).astype(jnp.float32)
         else:
             tj_oh_t = None
+        if cheb_kw:
+            # per-z half of the (type_i, type_j) coefficient lookup: one
+            # (n_mats*tpad, tpad) @ (tpad, L) MXU pass shared by every
+            # packet in the column; the per-packet half is n_mats tiny
+            # (8, tpad) @ (tpad, L) dots
+            Zc = jnp.dot(cheb_ref[...], tj_oh_t,
+                         preferred_element_type=jnp.float32)
+        else:
+            Zc = None
         npk = (counts_ref[0, 0, z] + 7) // 8
 
-        def body(p, carry, z=z, xj=xj, tj_oh_t=tj_oh_t):
+        def body(p, carry, z=z, xj=xj, tj_oh_t=tj_oh_t, Zc=Zc):
             r0 = (z + 1) * cap + p * 8                 # haloed self rows
             xi = self_ref[0, pl.ds(r0, 8), :]          # (8, 8)
 
@@ -967,26 +1001,68 @@ def _colt2_kernel(*refs, cap: int, n_types_pad: int, nz: int,
                                 preferred_element_type=jnp.float32),
                         preferred_element_type=jnp.float32)
 
-                sig = lut(sig_ref)
-                eps = lut(eps_ref)
                 cut2 = lut(cut2_ref)
-                shift = lut(shift_ref)
-                in_cut = valid & (r2s < cut2) & (lut(islj_ref) > 0.5)
+                if lj_on:
+                    sig = lut(sig_ref)
+                    eps = lut(eps_ref)
+                    shift = lut(shift_ref)
+                    in_cut = valid & (r2s < cut2) & (lut(islj_ref) > 0.5)
 
-            # identical per-pair op sequence to _kernel /
-            # excluded_pair_correction (0.75-sigma soft core)
-            r2c = jnp.maximum(r2s, 0.5625 * (sig * sig))
-            s2 = (sig * sig) / r2c
-            s6 = s2 * s2 * s2
-            e_lj = jnp.where(in_cut,
-                             4.0 * eps * (s6 * s6 - s6) - shift, 0.0)
-            f_lj = jnp.where(in_cut,
-                             48.0 * eps * (s6 * s6 - 0.5 * s6) / r2c, 0.0)
+            if lj_on or uniform_lj:
+                # identical per-pair op sequence to _kernel /
+                # excluded_pair_correction (0.75-sigma soft core)
+                r2c = jnp.maximum(r2s, 0.5625 * (sig * sig))
+                s2 = (sig * sig) / r2c
+                s6 = s2 * s2 * s2
+                e_lj = jnp.where(in_cut,
+                                 4.0 * eps * (s6 * s6 - s6) - shift, 0.0)
+                f_lj = jnp.where(in_cut,
+                                 48.0 * eps * (s6 * s6 - 0.5 * s6) / r2c, 0.0)
+            else:
+                e_lj = f_lj = jnp.zeros_like(r2s)
 
-            fx = jnp.sum(f_lj * dr[0], axis=1)
-            fy = jnp.sum(f_lj * dr[1], axis=1)
-            fz = jnp.sum(f_lj * dr[2], axis=1)
-            ch3 = 0.5 * jnp.sum(f_lj * r2s if want_virial else e_lj, axis=1)
+            if cheb_kw:
+                # Chebyshev-compressed tabulated pairs (tab_cheb.py): the
+                # per-packet half of the coefficient lookup, then exactly
+                # eval_planes' op sequence (the excluded-pair correction
+                # must cancel these contributions at f32 rounding)
+                from . import tab_cheb
+
+                def cm(m, Zc=Zc):
+                    return jnp.dot(ti_oh,
+                                   Zc[m * n_types_pad:(m + 1) * n_types_pad],
+                                   preferred_element_type=jnp.float32)
+
+                kw, ko = cheb_kw, cheb_ko
+                wall_g = [cm(k) for k in range(kw)]
+                wall_e = [cm(kw + k) for k in range(kw)]
+                o = 2 * kw
+                if ko:
+                    well_g = [cm(o + k) for k in range(ko)]
+                    well_e = [cm(o + ko + k) for k in range(ko)]
+                    o += 2 * ko
+                    ax_m, bx_m, rs2_m = cm(o + 2), cm(o + 3), cm(o + 4)
+                else:
+                    well_g = well_e = None
+                    ax_m = bx_m = rs2_m = None
+                ay_m, by_m = cm(o), cm(o + 1)
+                rcap2_m = cm(o + (5 if ko else 2))
+                istab_m = cm(o + (6 if ko else 3))
+                g_t, e_t = tab_cheb.eval_planes(
+                    r2s, wall_g, wall_e, well_g, well_e,
+                    ay_m, by_m, ax_m, bx_m, rs2_m, rcap2_m, kw, ko)
+                in_cut_t = valid & (r2s < cut2) & (istab_m > 0.5)
+                e_tab = jnp.where(in_cut_t, e_t, 0.0)
+                f_tab = jnp.where(in_cut_t, g_t, 0.0)
+                f_all = f_lj + f_tab
+                e_all = e_lj + e_tab
+            else:
+                f_all, e_all = f_lj, e_lj
+
+            fx = jnp.sum(f_all * dr[0], axis=1)
+            fy = jnp.sum(f_all * dr[1], axis=1)
+            fz = jnp.sum(f_all * dr[2], axis=1)
+            ch3 = 0.5 * jnp.sum(f_all * r2s if want_virial else e_all, axis=1)
             out4 = jnp.stack([fx, fy, fz, ch3], axis=1)          # (8, 4)
             out_ref[0, pl.ds(z * cap + p * 8, 8), :] = out4
             return carry
@@ -997,10 +1073,17 @@ def _colt2_kernel(*refs, cap: int, n_types_pad: int, nz: int,
 def cell_pair_forces_colt(pos, type_id, active, box, buckets, dims, spec,
                           n_types: int, cap: int, interpret: bool = False,
                           uniform_lj: bool = False, slot_of=None,
-                          want_virial: bool = False, impl: str = "colt2"):
+                          want_virial: bool = False, impl: str = "colt2",
+                          cheb_kw: int = 0, cheb_ko: int = 0,
+                          lj_on: bool = True):
     """Transpose-once column kernel (see _colt_kernel).  Same contract as
     cell_pair_forces (UNexcluded all-pairs sum); requires min(dims) >= 3
-    (full 27-stencil) and cap % 8 == 0 — callers gate and fall back."""
+    (full 27-stencil) and cap % 8 == 0 — callers gate and fall back.
+
+    cheb_kw > 0 enables the Chebyshev tabulated branch (colt2 only): the
+    per-table fit arrays on ``spec`` are lowered here to a stacked
+    (n_mats*tpad, tpad) type-pair LUT operand (order: wall_g*kw, wall_e*kw,
+    [well_g*ko, well_e*ko,] ay, by, [ax, bx, rs2,] rcap2, istab)."""
     from jax.experimental import pallas as pl_mod
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1058,6 +1141,35 @@ def cell_pair_forces_colt(pos, type_id, active, box, buckets, dims, spec,
         _pad_tt(is_lj, n_types, tpad),
     ]
 
+    if cheb_kw:
+        if impl != "colt2":
+            raise ValueError("cheb tabulated branch requires the colt2 "
+                             "kernel")
+        # lower the per-TABLE fit columns to per-type-pair LUT matrices and
+        # stack them into one (n_mats*tpad, tpad) operand, matrix order
+        # matching _colt2_kernel's cm() indexing
+        tabm = jnp.maximum(spec.pair_tab_a, 0)           # (T*T,) table ids
+
+        def ctt(col):
+            return _pad_tt(col[tabm], n_types, tpad)
+
+        kw, ko = cheb_kw, cheb_ko
+        mats = ([ctt(spec.cheb_wall_g[:, k]) for k in range(kw)]
+                + [ctt(spec.cheb_wall_e[:, k]) for k in range(kw)])
+        if ko:
+            mats += ([ctt(spec.cheb_well_g[:, k]) for k in range(ko)]
+                     + [ctt(spec.cheb_well_e[:, k]) for k in range(ko)])
+        mats += [ctt(spec.cheb_ay), ctt(spec.cheb_by)]
+        if ko:
+            mats += [ctt(spec.cheb_ax), ctt(spec.cheb_bx),
+                     ctt(spec.cheb_rs2)]
+        is_tab = (spec.pair_kind == PAIR_TAB).astype(jnp.float32)
+        mats += [ctt(spec.cheb_rcap2), _pad_tt(is_tab, n_types, tpad)]
+        cheb_op = jnp.concatenate(mats, axis=0)          # (n_mats*tpad, tpad)
+        cheb_ops = [cheb_op]
+    else:
+        cheb_ops = []
+
     # the 9 xy-neighbor columns (full 27-stencil required)
     xy_list = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
     self_col = xy_list.index((0, 0))
@@ -1084,20 +1196,24 @@ def cell_pair_forces_colt(pos, type_id, active, box, buckets, dims, spec,
            for dx, dy in xy_list]
         + [bs((1, 8), lambda c: (0, 0))]
         + [bs((tpad, tpad), lambda c: (0, 0))] * 5
+        + [bs((op.shape[0], tpad), lambda c: (0, 0)) for op in cheb_ops]
     )
     kfn = _colt2_kernel if impl == "colt2" else _colt_kernel
+    extra_kw = (dict(cheb_kw=cheb_kw, cheb_ko=cheb_ko, lj_on=lj_on)
+                if impl == "colt2" else {})
     call = pl_mod.pallas_call(
         functools.partial(kfn, cap=cap, n_types_pad=tpad,
                           nz=nz, self_col=self_col, n_cols_u=n_cols_u,
                           n_packets=cap // 8, uniform_lj=uniform_lj,
-                          want_virial=want_virial),
+                          want_virial=want_virial, **extra_kw),
         grid=(nx * ny,),
         in_specs=in_specs,
         out_specs=bs((1, nz * cap, 4), lambda c: (c, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((nx * ny, nz * cap, 4), jnp.float32),
         interpret=interpret,
     )
-    out_c = call(counts, cols8h, *([cols8hT] * n_cols_u), box8, *params)
+    out_c = call(counts, cols8h, *([cols8hT] * n_cols_u), box8, *params,
+                 *cheb_ops)
     out_flat = out_c.reshape(nx * ny * nz * cap, 4)
     if slot_of is not None:
         # out_c's (nx*ny, nz*cap, 4) flat order is (cid // nz)*nz*cap +
@@ -1113,6 +1229,10 @@ def cell_pair_forces_colt(pos, type_id, active, box, buckets, dims, spec,
     s3 = jnp.sum(out_flat[:, 3])
     if want_virial:
         return force, zero, zero, s3
+    if cheb_kw:
+        # pure-tab system (supports_cheb contract): the spare channel held
+        # the tabulated pair energy
+        return force, zero, s3, zero
     return force, s3, zero, zero
 
 
@@ -1272,7 +1392,8 @@ def _pad_tt(a, n_types: int, pad: int):
 def cell_pair_forces(pos, type_id, active, box, buckets, dims, spec,
                      n_types: int, cap: int, interpret: bool = False,
                      uniform_lj: bool = False, packets: bool | None = None,
-                     slot_of=None, want_virial: bool = False):
+                     slot_of=None, want_virial: bool = False,
+                     cheb_kw: int = 0, cheb_ko: int = 0):
     """All-pairs (minus nothing) cell-tile LJ forces.
 
     Returns (force (N,3), e_lj, e_tab == 0, w) over the UNexcluded all-pairs
@@ -1287,6 +1408,21 @@ def cell_pair_forces(pos, type_id, active, box, buckets, dims, spec,
     selects an experimental variant kernel.
     """
     import os
+
+    if cheb_kw:
+        # the Chebyshev tabulated branch exists only in colt2 (build gates
+        # geometry: cap % 8 == 0, full 27-stencil) — never silently route a
+        # tabulated system to an LJ-only kernel
+        if cap % 8 != 0 or min(int(d) for d in dims) < 3:
+            raise ValueError("cheb tabulated path requires colt2-legal "
+                             "geometry (cap %% 8 == 0, min(dims) >= 3)")
+        return cell_pair_forces_colt(pos, type_id, active, box, buckets,
+                                     dims, spec, n_types, cap,
+                                     interpret=interpret,
+                                     uniform_lj=False, slot_of=slot_of,
+                                     want_virial=want_virial, impl="colt2",
+                                     cheb_kw=cheb_kw, cheb_ko=cheb_ko,
+                                     lj_on=False)
 
     choice = os.environ.get("CHEMLAB_KERNEL", "")
     if not choice:
@@ -1446,9 +1582,15 @@ def pltpu_grid(n_cells, cap, tpad, dims, offsets):
 
 
 def excluded_pair_correction(spec, n_types, pos, box, type_id, excl,
-                             active=None, has_tab: bool = True):
+                             active=None, has_tab: bool = True,
+                             cheb: tuple | None = None):
     """Energy/force of the exclusion-list pairs, to subtract from the
-    all-pairs kernel result (computed in plain XLA; the list is short)."""
+    all-pairs kernel result (computed in plain XLA; the list is short).
+
+    ``cheb=(kw, ko)`` selects the Chebyshev-fit evaluation for tabulated
+    pairs (tab_cheb.eval_pairs — the token-identical twin of the colt2
+    kernel's tab branch) instead of the 4096-bin interpolation: when the
+    kernel served cheb values, the subtraction must cancel THOSE."""
     i = excl[:, 0]
     j = excl[:, 1]
     valid = (i >= 0) & (j >= 0)
@@ -1492,7 +1634,21 @@ def excluded_pair_correction(spec, n_types, pos, box, type_id, excl,
                      0.0)
     f_lj = jnp.where(lj_m, 48.0 * eps * (s6 * s6 - 0.5 * s6) / r2c, 0.0)
 
-    if has_tab:
+    if cheb is not None:
+        from . import tab_cheb
+
+        kw, ko = cheb
+        tab_m = in_cut & (kind == PAIR_TAB)
+        fit_dev = dict(wall_g=spec.cheb_wall_g, wall_e=spec.cheb_wall_e,
+                       well_g=spec.cheb_well_g, well_e=spec.cheb_well_e,
+                       ay=spec.cheb_ay, by=spec.cheb_by,
+                       ax=spec.cheb_ax, bx=spec.cheb_bx,
+                       rs2=spec.cheb_rs2, rcap2=spec.cheb_rcap2)
+        g_t, e_t = tab_cheb.eval_pairs(
+            fit_dev, jnp.maximum(spec.pair_tab_a[pid], 0), r2s, kw, ko)
+        e_tab = jnp.where(tab_m, e_t, 0.0)
+        f_tab = jnp.where(tab_m, g_t, 0.0)
+    elif has_tab:
         from . import tables as tables_mod
 
         tab_m = in_cut & (kind == PAIR_TAB)

@@ -125,6 +125,12 @@ class EngineConfig:
     uniform_lj: bool = False  # every type pair is PAIR_LJ with identical
                               # sig/eps/cutoff/shift: the kernel skips the
                               # one-hot parameter contractions entirely
+    # -- Chebyshev-compressed tabulated pairs on the pallas fast path
+    #    (tab_cheb.py): enabled only when every USED pair table passed the
+    #    build-time fit validation; degrees are part of the jit key --
+    tab_cheb: bool = False
+    cheb_kw: int = 0          # wall-piece Chebyshev terms
+    cheb_ko: int = 0          # well-piece terms (0 = single-piece tables)
     rx_dims: tuple = (1, 1, 1)    # reaction cell grid
     rx_cell_cap: int = 8
     rx_k: int = 8             # reaction neighbor-row width
@@ -356,3 +362,17 @@ class SimSpec:
     fr_p_num: jnp.ndarray         # () int32 freeze at most N per step (0=off)
     fr_p_pct: jnp.ndarray         # () float32 freeze fraction per step (0=off)
     fr_remove: jnp.ndarray        # () bool remove instead of freeze
+
+    # -- Chebyshev-compressed tabulated pairs (tab_cheb.py): per-TABLE fit
+    #    arrays, lowered to per-type-pair LUT matrices inside the pallas
+    #    wrapper.  None unless cfg.tab_cheb (fits validated at build). --
+    cheb_wall_g: jnp.ndarray = None   # (nT, kw) F/r coeffs in y01(1/r^2)
+    cheb_wall_e: jnp.ndarray = None   # (nT, kw)
+    cheb_well_g: jnp.ndarray = None   # (nT, ko) F/r coeffs in x01(r)
+    cheb_well_e: jnp.ndarray = None   # (nT, ko)
+    cheb_ay: jnp.ndarray = None       # (nT,) y01 = ay / max(r2, rcap2) + by
+    cheb_by: jnp.ndarray = None
+    cheb_ax: jnp.ndarray = None       # (nT,) x01 = ax * r + bx
+    cheb_bx: jnp.ndarray = None
+    cheb_rs2: jnp.ndarray = None      # (nT,) wall/well switch on r2
+    cheb_rcap2: jnp.ndarray = None    # (nT,) wall clamp radius^2
