@@ -207,6 +207,36 @@ def read_pdb(file_name: str) -> Coordinates:
     )
 
 
+def write_pdb(file_name: str, coords: Coordinates, backup: bool = True) -> None:
+    """Write a .pdb file; positions scaled nm -> 0.1 A (ref:
+    files_io.py:352-398 PDBFile.write).
+
+    Emits standards-conforming records (CRYST1 / ATOM / TER / ENDMDL).
+    Deviation from the reference: its writer inserts a bare atom-count
+    line after CRYST1, which standard PDB parsers reject — omitted here
+    (read_pdb on either side skips unknown lines, so round-trips work
+    both ways).
+    """
+    scale = 0.1
+    out = ["REMARK generated by chemlab_tpu", "MODEL 1"]
+    out.append("%-6s%9.3f%9.3f%9.3f%7.2f%7.2f%7.2f %-11s%4d" % (
+        "CRYST1", coords.box[0] / scale, coords.box[1] / scale,
+        coords.box[2] / scale, 90.0, 90.0, 90.0, "P 1", 1))
+    fmt = "%-6s%5d %-4s %-3s  %4d    %8.3f%8.3f%8.3f                      %2s"
+    for k in range(coords.n_atoms):
+        name = coords.atom_names[k]
+        out.append(fmt % (
+            "ATOM", int(coords.atom_ids[k]) % 100000, name[:4],
+            coords.res_names[k][:3], int(coords.res_idx[k]) % 10000,
+            coords.pos[k, 0] / scale, coords.pos[k, 1] / scale,
+            coords.pos[k, 2] / scale, name[:2]))
+    out.append("TER")
+    out.append("ENDMDL\n")
+    path = prepare_path(file_name) if backup else file_name
+    with open(path, "w") as f:
+        f.write("\n".join(out))
+
+
 def read_coordinates(file_name: str) -> Coordinates:
     """Dispatch on file suffix (ref: files_io.py:1239-1245)."""
     suffix = file_name.rsplit(".", 1)[-1]
@@ -215,6 +245,16 @@ def read_coordinates(file_name: str) -> Coordinates:
         return coords if coords is not None else read_gro(file_name)
     if suffix == "pdb":
         return read_pdb(file_name)
+    raise ValueError("unsupported coordinate format: %s" % file_name)
+
+
+def write_coordinates(file_name: str, coords: Coordinates, **kw) -> None:
+    """Dispatch on file suffix, mirroring read_coordinates."""
+    suffix = file_name.rsplit(".", 1)[-1]
+    if suffix == "gro":
+        return write_gro(file_name, coords, **kw)
+    if suffix == "pdb":
+        return write_pdb(file_name, coords, **kw)
     raise ValueError("unsupported coordinate format: %s" % file_name)
 
 

@@ -117,3 +117,50 @@ def test_criteria_any_semantics():
     assert tools.criteria_reached([c1, c2], [0.6], {(1, 2): 3})
     # only the bond count reached -> stop
     assert tools.criteria_reached([c1, c2], [0.1], {(1, 2): 12})
+
+
+def test_pdb_roundtrip(tmp_path):
+    """write_pdb -> read_pdb preserves ids, names, positions, box
+    (VERDICT r3 item 9; ref files_io.py:311-398 PDBFile read+write)."""
+    p = tmp_path / "conf.gro"
+    _write_sample_gro(p, with_vel=False)
+    c = files_io.read_gro(str(p))
+    # PDB boxes must be cubic for read_pdb
+    c.box = np.array([5.0, 5.0, 5.0])
+    out = tmp_path / "out.pdb"
+    files_io.write_pdb(str(out), c, backup=False)
+    c2 = files_io.read_pdb(str(out))
+    assert c2.n_atoms == c.n_atoms
+    assert list(c2.atom_ids) == list(c.atom_ids)
+    assert c2.atom_names == c.atom_names
+    assert c2.res_names == [n[:3] for n in c.res_names]
+    assert list(c2.res_idx) == list(c.res_idx)
+    np.testing.assert_allclose(c2.pos, c.pos, atol=1e-3)
+    np.testing.assert_allclose(c2.box, c.box, atol=1e-6)
+    # dispatcher sees both suffixes
+    c3 = files_io.read_coordinates(str(out))
+    np.testing.assert_allclose(c3.pos, c.pos, atol=1e-3)
+    files_io.write_coordinates(str(tmp_path / "w.gro"), c, backup=False)
+    files_io.write_coordinates(str(tmp_path / "w.pdb"), c, backup=False)
+
+
+def test_gro_append_trajectory(tmp_path):
+    """DumpGRO append mode stacks frames; each frame stays independently
+    parseable (ref start_simulation.py:686-696 dump_gro append)."""
+    p = tmp_path / "conf.gro"
+    _write_sample_gro(p, with_vel=False)
+    c = files_io.read_gro(str(p))
+    traj = tmp_path / "traj.gro"
+    files_io.write_gro(str(traj), c, backup=False)
+    c_shift = files_io.read_gro(str(traj))
+    c_shift.pos = c_shift.pos + 0.1
+    files_io.write_gro(str(traj), c_shift, append=True)
+    lines = traj.read_text().splitlines()
+    n = c.n_atoms
+    frame_len = n + 3
+    assert len([l for l in lines if l.strip()]) == 2 * frame_len
+    # second frame parses on its own and carries the shifted positions
+    second = tmp_path / "second.gro"
+    second.write_text("\n".join(lines[frame_len:]) + "\n")
+    c2 = files_io.read_gro(str(second))
+    np.testing.assert_allclose(c2.pos, c.pos + 0.1, atol=1e-3)
