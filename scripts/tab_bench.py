@@ -85,13 +85,22 @@ def main():
     jax.block_until_ready(f)
     force_ms = (time.perf_counter() - t0) / reps * 1e3
 
-    ev0 = int(jnp.sum(state.reaction_counts))
-    t0 = time.perf_counter()
-    for _ in range(n_blocks):
-        state = runner.run_block(spec, cfg, state, block_steps)
-    jax.block_until_ready(state.pos)
-    dt = time.perf_counter() - t0
-    m = runner.measure(spec, cfg, state)
+    # timed phase; a block that ends overflowed dropped pairs, so the
+    # measurement is void — regrow (production does this between blocks)
+    # and re-time, up to 3 attempts
+    for _ in range(3):
+        ev0 = int(jnp.sum(state.reaction_counts))
+        t0 = time.perf_counter()
+        for _ in range(n_blocks):
+            state = runner.run_block(spec, cfg, state, block_steps)
+        jax.block_until_ready(state.pos)
+        dt = time.perf_counter() - t0
+        m = runner.measure(spec, cfg, state)
+        if not bool(m["overflow"]):
+            break
+        print(json.dumps({"overflow_during_timing": True,
+                          "cell_cap": cfg.cell_cap}), flush=True)
+        cfg, state = build_mod.grow_neighbor_caps(cfg, spec, state)
     n_steps = n_blocks * block_steps
     print(json.dumps({
         "workload": "tabulated reactive melt (func-8 all pairs)",
@@ -101,8 +110,9 @@ def main():
         "force_pass_ms": round(force_ms, 3),
         "steps_timed": n_steps,
         "events": int(m["reaction_counts"].sum()) - ev0,
-        "e_tab": float(m.get("e_tab", 0.0)),
+        "e_tab": float(m.get("lj-tab", 0.0)),
         "overflow": bool(m["overflow"]),
+        "cell_cap": cfg.cell_cap,
         "use_pallas": bool(cfg.use_pallas),
     }), flush=True)
 
