@@ -46,16 +46,27 @@ def compute_forces(spec: SimSpec, cfg: EngineConfig, state: MDState):
         obs_x = jnp.zeros(spec.obs_total.shape[0], jnp.float32)
     if cfg.use_pallas:
         # cell-tile pallas kernel: all-pairs sum minus the exclusion list
-        from . import pallas_pair
+        from . import pallas_halo, pallas_pair
 
         interpret = jax.default_backend() != "tpu"
-        f_all, e_lj_all, e_tab_all, _ = pallas_pair.cell_pair_forces(
-            state.pos, state.type_id, state.active, state.box,
-            state.nbr.buckets, cfg.cell_dims, spec,
-            cfg.n_types, cfg.cell_cap, interpret=interpret,
-            uniform_lj=cfg.uniform_lj, slot_of=state.nbr.slot_of,
-            cheb_kw=cfg.cheb_kw if cfg.tab_cheb else 0,
-            cheb_ko=cfg.cheb_ko)
+        if pallas_halo.supports(cfg):
+            # slab DD + ppermute ghost exchange (the reference's spatial
+            # scaling analog; ref start_simulation.py:155-171)
+            f_all, e_lj_all, e_tab_all, _ = pallas_halo.cell_pair_forces_halo(
+                state.pos, state.type_id, state.active, state.box,
+                state.nbr.buckets, cfg.cell_dims, spec,
+                cfg.n_types, cfg.cell_cap, cfg.mesh, interpret=interpret,
+                uniform_lj=cfg.uniform_lj,
+                cheb_kw=cfg.cheb_kw if cfg.tab_cheb else 0,
+                cheb_ko=cfg.cheb_ko)
+        else:
+            f_all, e_lj_all, e_tab_all, _ = pallas_pair.cell_pair_forces(
+                state.pos, state.type_id, state.active, state.box,
+                state.nbr.buckets, cfg.cell_dims, spec,
+                cfg.n_types, cfg.cell_cap, interpret=interpret,
+                uniform_lj=cfg.uniform_lj, slot_of=state.nbr.slot_of,
+                cheb_kw=cfg.cheb_kw if cfg.tab_cheb else 0,
+                cheb_ko=cfg.cheb_ko)
         f_ex, e_lj_ex, e_tab_ex, _ = pallas_pair.excluded_pair_correction(
             spec, cfg.n_types, state.pos, state.box, state.type_id, state.excl,
             active=state.active, has_tab=cfg.has_tabulated,
@@ -152,17 +163,26 @@ def virial_pressure(spec: SimSpec, cfg: EngineConfig, state: MDState):
         return tot
 
     if cfg.use_pallas:
-        from . import pallas_pair
+        from . import pallas_halo, pallas_pair
 
         interpret = jax.default_backend() != "tpu"
-        _, _, _, w_all = pallas_pair.cell_pair_forces(
-            state.pos, state.type_id, state.active, state.box,
-            state.nbr.buckets, cfg.cell_dims, spec,
-            cfg.n_types, cfg.cell_cap, interpret=interpret,
-            uniform_lj=cfg.uniform_lj, slot_of=state.nbr.slot_of,
-            want_virial=True,
-            cheb_kw=cfg.cheb_kw if cfg.tab_cheb else 0,
-            cheb_ko=cfg.cheb_ko)
+        if pallas_halo.supports(cfg):
+            _, _, _, w_all = pallas_halo.cell_pair_forces_halo(
+                state.pos, state.type_id, state.active, state.box,
+                state.nbr.buckets, cfg.cell_dims, spec,
+                cfg.n_types, cfg.cell_cap, cfg.mesh, interpret=interpret,
+                uniform_lj=cfg.uniform_lj, want_virial=True,
+                cheb_kw=cfg.cheb_kw if cfg.tab_cheb else 0,
+                cheb_ko=cfg.cheb_ko)
+        else:
+            _, _, _, w_all = pallas_pair.cell_pair_forces(
+                state.pos, state.type_id, state.active, state.box,
+                state.nbr.buckets, cfg.cell_dims, spec,
+                cfg.n_types, cfg.cell_cap, interpret=interpret,
+                uniform_lj=cfg.uniform_lj, slot_of=state.nbr.slot_of,
+                want_virial=True,
+                cheb_kw=cfg.cheb_kw if cfg.tab_cheb else 0,
+                cheb_ko=cfg.cheb_ko)
         _, _, _, w_ex = pallas_pair.excluded_pair_correction(
             spec, cfg.n_types, state.pos, state.box, state.type_id,
             state.excl, active=state.active, has_tab=cfg.has_tabulated,

@@ -369,7 +369,7 @@ def cell_pair_forces_colt(pos, type_id, active, box, buckets, dims, spec,
                           uniform_lj: bool = False, slot_of=None,
                           want_virial: bool = False, impl: str = "colt2",
                           cheb_kw: int = 0, cheb_ko: int = 0,
-                          lj_on: bool = True):
+                          lj_on: bool = True, x_halo: bool = False):
     """Transpose-once column kernel (see _colt_kernel).  Same contract as
     cell_pair_forces (UNexcluded all-pairs sum); requires min(dims) >= 3
     (full 27-stencil) and cap % 8 == 0 — callers gate and fall back.
@@ -377,7 +377,14 @@ def cell_pair_forces_colt(pos, type_id, active, box, buckets, dims, spec,
     cheb_kw > 0 enables the Chebyshev tabulated branch (colt2 only): the
     per-table fit arrays on ``spec`` are lowered here to a stacked
     (n_mats*tpad, tpad) type-pair LUT operand (order: wall_g*kw, wall_e*kw,
-    [well_g*ko, well_e*ko,] ay, by, [ax, bx, rs2,] rcap2, istab)."""
+    [well_g*ko, well_e*ko,] ay, by, [ax, bx, rs2,] rcap2, istab).
+
+    x_halo (pallas_halo.py slab mode): ``buckets``/``dims`` describe a
+    LOCAL x-slab EXTENDED by one halo x-layer on each side (dims[0] =
+    w + 2); the kernel grid covers only the w inner layers, x indexing is
+    offset instead of wrapped (periodicity is the halo exchange's job),
+    and the return value is the raw (w*ny*nz*cap, 4) slot output — the
+    caller owns the particle epilogue."""
     from jax.experimental import pallas as pl_mod
     from jax.experimental.pallas import tpu as pltpu
 
@@ -470,13 +477,31 @@ def cell_pair_forces_colt(pos, type_id, active, box, buckets, dims, spec,
     n_cols_u = len(xy_list)
     bs = pl_mod.BlockSpec
 
-    def colmap1_k(dx, dy):
-        def m(c):
-            cx = c // ny
-            cy = c % ny
-            return ((cx + dx) % nx * ny + (cy + dy) % ny, 0, 0)
+    if x_halo:
+        # grid over the w = nx - 2 inner layers; x offsets index the halo
+        # layers directly (non-periodic — the ppermute exchange already
+        # placed the wrapped neighbors there)
+        n_grid_cols = (nx - 2) * ny
 
-        return m
+        def colmap1_k(dx, dy):
+            def m(c):
+                cx = c // ny + 1
+                cy = c % ny
+                return ((cx + dx) * ny + (cy + dy) % ny, 0, 0)
+
+            return m
+
+        counts = counts[ny:(nx - 1) * ny]
+    else:
+        n_grid_cols = nx * ny
+
+        def colmap1_k(dx, dy):
+            def m(c):
+                cx = c // ny
+                cy = c % ny
+                return ((cx + dx) % nx * ny + (cy + dy) % ny, 0, 0)
+
+            return m
 
     # channel-major columns for the candidate windows: lane dim (nz+2)*cap
     # makes the HBM->VMEM DMA dense (an 8-lane-minor operand fragments into
@@ -504,15 +529,18 @@ def cell_pair_forces_colt(pos, type_id, active, box, buckets, dims, spec,
                           nz=nz, self_col=self_col, n_cols_u=n_cols_u,
                           n_packets=cap // 8, uniform_lj=uniform_lj,
                           want_virial=want_virial, **extra_kw),
-        grid=(nx * ny,),
+        grid=(n_grid_cols,),
         in_specs=in_specs,
         out_specs=bs((1, nz * cap, 4), lambda c: (c, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((nx * ny, nz * cap, 4), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_grid_cols, nz * cap, 4),
+                                       jnp.float32),
         interpret=interpret,
     )
     out_c = call(counts, cols8h, *([cols8hT] * n_cols_u), box8, *params,
                  *cheb_ops)
-    out_flat = out_c.reshape(nx * ny * nz * cap, 4)
+    out_flat = out_c.reshape(n_grid_cols * nz * cap, 4)
+    if x_halo:
+        return out_flat
     if slot_of is not None:
         # out_c's (nx*ny, nz*cap, 4) flat order is (cid // nz)*nz*cap +
         # (cid % nz)*cap + p == cid*cap + p — exactly slot_of's indexing

@@ -311,22 +311,31 @@ def eval_pairs(fit_dev: dict, tab_idx, r2, kw: int, ko: int):
 
     fit_dev: dict of device arrays {wall_g (T,kw), wall_e, well_g (T,ko),
     well_e, ay, by, ax, bx, rs2, rcap2}; tab_idx: integer array of table ids
-    shaped like r2.  Coefficients are gathered per pair — these are O(n_excl)
-    gathers, not O(N*K).
+    shaped like r2.  All per-table columns are packed into ONE (T, P)
+    matrix so the correction costs a single row gather per pair — the
+    original per-column gathers (~8 of them) were measured at ~30 ms for a
+    100k reactive melt's exclusion list, dwarfing the 21 ms kernel call.
     """
-    wg = fit_dev["wall_g"][tab_idx]                       # (..., kw)
-    we = fit_dev["wall_e"][tab_idx]
-    wall_g = [wg[..., k] for k in range(kw)]
-    wall_e = [we[..., k] for k in range(kw)]
+    pk = jnp.concatenate(
+        [fit_dev["wall_g"], fit_dev["wall_e"]]
+        + ([fit_dev["well_g"], fit_dev["well_e"]] if ko > 0 else [])
+        + [fit_dev[k][:, None] for k in
+           (("ay", "by", "ax", "bx", "rs2", "rcap2") if ko > 0
+            else ("ay", "by", "rcap2"))], axis=1)         # (T, P)
+    rowsk = pk[tab_idx]                                   # (..., P)
+    wall_g = [rowsk[..., k] for k in range(kw)]
+    wall_e = [rowsk[..., kw + k] for k in range(kw)]
+    o = 2 * kw
     if ko > 0:
-        og = fit_dev["well_g"][tab_idx]
-        oe = fit_dev["well_e"][tab_idx]
-        well_g = [og[..., k] for k in range(ko)]
-        well_e = [oe[..., k] for k in range(ko)]
+        well_g = [rowsk[..., o + k] for k in range(ko)]
+        well_e = [rowsk[..., o + ko + k] for k in range(ko)]
+        o += 2 * ko
+        ay, by, ax, bx = (rowsk[..., o], rowsk[..., o + 1],
+                          rowsk[..., o + 2], rowsk[..., o + 3])
+        rs2, rcap2 = rowsk[..., o + 4], rowsk[..., o + 5]
     else:
         well_g = well_e = None
-    return eval_planes(
-        r2, wall_g, wall_e, well_g, well_e,
-        fit_dev["ay"][tab_idx], fit_dev["by"][tab_idx],
-        fit_dev["ax"][tab_idx], fit_dev["bx"][tab_idx],
-        fit_dev["rs2"][tab_idx], fit_dev["rcap2"][tab_idx], kw, ko)
+        ay, by, rcap2 = rowsk[..., o], rowsk[..., o + 1], rowsk[..., o + 2]
+        ax = bx = rs2 = None
+    return eval_planes(r2, wall_g, wall_e, well_g, well_e,
+                       ay, by, ax, bx, rs2, rcap2, kw, ko)

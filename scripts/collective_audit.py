@@ -76,8 +76,13 @@ def main():
     ap.add_argument("--what", default="block",
                     choices=("block", "step", "rebuild"))
     ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--halo", action="store_true",
+                    help="slab+ppermute variant (implies --pallas)")
     ap.add_argument("--dump", default="", help="write full HLO text here")
     args = ap.parse_args()
+    if args.halo:
+        args.pallas = True
+        os.environ["CHEMLAB_HALO"] = "1"
 
     from chemlab_tpu import testsystems
     from chemlab_tpu.engine import integrate, neighbor, runner
@@ -122,7 +127,7 @@ def main():
     total = sum(v["bytes"] for v in table.values())
     print(json.dumps({
         "n_particles": cfg.n_particles, "what": args.what,
-        "use_pallas": bool(cfg.use_pallas),
+        "use_pallas": bool(cfg.use_pallas), "halo": bool(args.halo),
         "collectives": table,
         "total_bytes": total,
         "total_mb": round(total / 2**20, 2),
