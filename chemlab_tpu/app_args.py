@@ -92,6 +92,12 @@ def build_parser() -> ParamsArgumentParser:
                         "observed occupancy (engine extra; -1 disables). Pays "
                         "one re-jit; useful after equilibrating a packed "
                         "start whose initial density oversized the caps")
+    g.add_argument("--presize_caps", default=False, type=_bool,
+                   help="After the first reactive block, grow the term tables "
+                        "ONCE to cover the whole remaining run from the "
+                        "measured append rate, so capacity regrowth (a "
+                        "recompile) never lands mid-run (engine extra; "
+                        "rate-aware proactive growth remains the backstop)")
     g.add_argument("--timers", default=True, type=_bool,
                    help="Record the per-phase timing breakdown in the "
                         "_benchmark.pck (costs a few extra compiles at end)")

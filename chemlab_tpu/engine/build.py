@@ -747,6 +747,49 @@ def grow_term_caps(cfg: EngineConfig, state, factor: float = 1.5,
     return apply_term_caps(cfg, state, caps, excl_new)
 
 
+def presize_term_caps(cfg: EngineConfig, state, counts: dict,
+                      prev_counts: dict, block_steps: int,
+                      plan_steps: int, safety: float = 1.6):
+    """Grow the term tables ONCE to cover a whole planned run, from the
+    measured per-block consumption rate — so capacity regrowth (a ~90 s
+    recompile at 100k) never lands on a production run's critical path
+    (VERDICT r3 item 3; the reference's FixedLists reallocate freely,
+    ref gromacs_topology.py:1019, so it has no such stall either).
+
+    ``counts``/``prev_counts`` are measure_cheap dicts one block apart;
+    the append rate is extrapolated over ``plan_steps`` with ``safety``
+    margin (reaction consumption decays as conversion proceeds, so the
+    early-run rate is an upper bound).  Padded canonical rows are cheap
+    per-step under the dense-static bonded path (they cost rederive time
+    at reaction intervals, not per-step gathers), so oversizing is the
+    right trade for a long run.  Returns (cfg, state)."""
+    def tgt(key, cap):
+        rate = max(0, counts.get(key, 0) - prev_counts.get(key, 0)) \
+            / max(block_steps, 1)
+        if rate == 0:
+            # nothing consumed this table in the measured window: leave it
+            # alone (rate-aware proactive growth remains the backstop)
+            return cap
+        t = counts.get(key, 0) + int(rate * plan_steps * safety) \
+            + 2 * _term_headroom_floor(cap) + 256
+        return _round_up(t, 128)
+
+    caps = {}
+    count_key = {"bond_cap": "n_bonds", "angle_cap": "n_angles",
+                 "dihedral_cap": "n_dihedrals"}
+    for f in TERM_CAP_FIELDS:
+        t = tgt(count_key[f], getattr(cfg, f))
+        if t > getattr(cfg, f):
+            caps[f] = t
+    excl_new = None
+    t = tgt("n_excl", state.excl.shape[0])
+    if t > state.excl.shape[0]:
+        excl_new = t
+    if not caps and excl_new is None:
+        return cfg, state
+    return apply_term_caps(cfg, state, caps, excl_new)
+
+
 @dataclasses.dataclass
 class BuiltSystem:
     cfg: EngineConfig

@@ -504,6 +504,7 @@ def main(argv=None):
     reactions_enabled = False
     reactions_started = False   # one-shot latch: start_ar fires exactly once
     caps_retuned = args.retune_caps < 0   # one-shot --retune_caps latch
+    caps_presized = not args.presize_caps   # one-shot --presize_caps latch
     conversion_reached = False
     eq_blocks_left = None
     need_bond_counts = any(c.kind == "bond_count" for c in criteria)
@@ -586,6 +587,24 @@ def main(argv=None):
             state = place(state)
             print("capacity overflow: neighbor caps regrown to K=%d cell=%d"
                   % (cfg.max_neighbors, cfg.cell_cap))
+        elif (args.presize_caps and not caps_presized and cfg.has_reactions
+                and reactions_enabled and prev_counts is not None
+                and any(counts.get(kk, 0) > prev_counts.get(kk, 0)
+                        for kk in ("n_bonds", "n_angles", "n_dihedrals",
+                                   "n_excl"))):
+            # one-shot: size the term tables for the whole remaining run from
+            # the first reactive block's measured append rate, so regrowth
+            # recompiles never land mid-run (rate-aware growth above stays
+            # the backstop if consumption accelerates beyond the margin)
+            caps_presized = True
+            plan = max(sim_steps - k, 0) * integrator_step
+            cfg, state = build.presize_term_caps(
+                cfg, state, counts, prev_counts, integrator_step, plan)
+            state = place(state)
+            print("capacity: term tables presized for %d steps to bonds=%d "
+                  "angles=%d dihedrals=%d excl=%d"
+                  % (plan, cfg.bond_cap, cfg.angle_cap, cfg.dihedral_cap,
+                     state.excl.shape[0]))
         prev_counts = counts
 
         if args.trj_collect and global_step % args.trj_collect == 0:

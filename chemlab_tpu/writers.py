@@ -64,7 +64,8 @@ class H5MDWriter:
         self.f.create_group("parameters")
         self.f.create_group("connectivity")
 
-    def _get_series(self, group, name, shape, dtype):
+    def _get_series(self, group, name, shape, dtype, grow_rows=False,
+                    fill=None):
         key = (group.name, name)
         if key not in self._series:
             g = group.create_group(name)
@@ -73,9 +74,14 @@ class H5MDWriter:
             chunks = None
             if self.chunk and shape:
                 chunks = (1, min(self.chunk, shape[0])) + shape[1:]
+            # grow_rows: the row axis stays resizable — term-table
+            # capacities legitimately grow mid-run (reactive appends), and
+            # the series must follow (earlier frames backfill with `fill`)
+            maxshape = ((None, None) + shape[1:]) if grow_rows \
+                else ((None,) + shape)
             g.create_dataset("value", shape=(0,) + shape,
-                             maxshape=(None,) + shape, dtype=dtype,
-                             chunks=chunks)
+                             maxshape=maxshape, dtype=dtype,
+                             chunks=chunks, fillvalue=fill)
             self._series[key] = g
         return self._series[key]
 
@@ -111,9 +117,23 @@ class H5MDWriter:
             self._append(g, step, t, np.asarray(val)[: self.n])
 
     def dump_connectivity(self, name, step, t, table):
-        """Append a fixed-shape -1-padded index table under /connectivity."""
+        """Append a -1-padded index table under /connectivity.
+
+        The row count follows the term table's CURRENT capacity: growth
+        (grow/presize_term_caps) widens the series in place (old frames
+        backfill with -1 padding), a shrink pads the incoming frame up —
+        readers see a consistent -1-padded series either way."""
         table = np.asarray(table, np.int32)
-        g = self._get_series(self.f["connectivity"], name, table.shape, "i4")
+        g = self._get_series(self.f["connectivity"], name, table.shape,
+                             "i4", grow_rows=True, fill=-1)
+        ds = g["value"]
+        rows = ds.shape[1]
+        if table.shape[0] > rows:
+            ds.resize(table.shape[0], axis=1)
+        elif table.shape[0] < rows:
+            pad = np.full((rows - table.shape[0],) + table.shape[1:], -1,
+                          np.int32)
+            table = np.concatenate([table, pad])
         self._append(g, step, t, table)
 
     def write_parameters(self, args_namespace=None, force_field=None):

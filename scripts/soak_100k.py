@@ -23,6 +23,9 @@ def main():
     p.add_argument("--n_mols", type=int, default=33334)
     p.add_argument("--pallas", type=int, default=-1,
                    help="1/0 force; -1 = auto (on when the backend is TPU)")
+    p.add_argument("--presize", type=int, default=1,
+                   help="measure one reactive block then size term caps "
+                        "for the whole run up front (no mid-run regrow)")
     p.add_argument("--retune", type=int, default=1,
                    help="apply the post-equilibration cap shrink (the CLI's "
                         "--retune_caps) before the timed run")
@@ -55,11 +58,40 @@ def main():
     st = runner.run_block(spec, cfg, st, a.block)   # compile
     jax.block_until_ready(st.pos)
 
+    done = a.block      # compile block counts toward the run
+    prev_counts = None
+    if a.presize:
+        # VERDICT r3 item 3: measure one reactive block's append rate, then
+        # size the term tables ONCE for the whole run — regrowth recompiles
+        # (~90 s each at 100k) stay off the timed critical path
+        def snap(st):
+            mc = runner.measure_cheap(spec, cfg, st)
+            c = {k: int(mc[k]) for k in ("n_bonds", "n_angles",
+                                         "n_dihedrals", "n_excl")}
+            c["excl_pair_cap"] = st.excl.shape[0]
+            return c
+        c0 = snap(st)
+        st = runner.run_block(spec, cfg, st, a.block)
+        done += a.block
+        c1 = snap(st)
+        cfg, st = build_mod.presize_term_caps(cfg, st, c1, c0, a.block,
+                                              a.steps - done)
+        st = runner.run_block(spec, cfg, st, a.block)   # recompile off-clock
+        jax.block_until_ready(st.pos)
+        done += a.block
+        prev_counts = snap(st)
+        print(json.dumps({"presized": {"bond_cap": cfg.bond_cap,
+                                       "angle_cap": cfg.angle_cap,
+                                       "excl_cap": int(st.excl.shape[0]),
+                                       "rate_per_block": {
+                                           k: c1[k] - c0[k] for k in c0
+                                           if k != "excl_pair_cap"}}}),
+              flush=True)
+
     print(json.dumps({"device": str(jax.devices()[0]),
                       "n": cfg.n_particles, "steps": a.steps}), flush=True)
     regrowths = 0
-    prev_counts = None
-    done = a.block      # compile block counts toward the run
+    untimed = done      # compile + presize blocks run before the clock
     t0 = time.perf_counter()
     while done < a.steps:
         st = runner.run_block(spec, cfg, st, a.block)
@@ -88,7 +120,7 @@ def main():
                 "epot": round(float(m["epot"]), 1),
                 "events": int(m["reaction_counts"].sum()),
                 "n_bonds": int(m["n_bonds"]),
-                "pps_sofar": round(cfg.n_particles * (done - a.block)
+                "pps_sofar": round(cfg.n_particles * (done - untimed)
                                    / (time.perf_counter() - t0), 1),
             }), flush=True)
     wall = time.perf_counter() - t0
@@ -100,7 +132,7 @@ def main():
             "n_particles": cfg.n_particles,
             "steps": done,
             "wall_s": round(wall, 1),
-            "pps": round(cfg.n_particles * (done - a.block) / wall, 1),
+            "pps": round(cfg.n_particles * (done - untimed) / wall, 1),
             "reaction_events": int(m["reaction_counts"].sum()),
             "final_bonds": int(m["n_bonds"]),
             "T": round(float(m["T"]), 4),

@@ -87,3 +87,45 @@ def test_checkpoint_restores_after_term_regrowth(tmp_path):
     assert np.array_equal(np.asarray(a.pos), np.asarray(b.pos))
     assert np.array_equal(np.asarray(a.bonds.idx), np.asarray(b.bonds.idx))
     assert np.array_equal(np.asarray(a.key), np.asarray(b.key))
+
+
+def test_presize_term_caps_covers_planned_run():
+    """presize_term_caps (VERDICT r3 item 3): one-shot sizing from a
+    measured per-block append rate covers the planned run and is
+    physics-inert like any apply_term_caps repad."""
+    built, spec, cfg, st = _reactive_state()
+
+    def snap(state):
+        mc = runner.measure_cheap(spec, cfg, state)
+        c = {k: int(mc[k]) for k in ("n_bonds", "n_angles",
+                                     "n_dihedrals", "n_excl")}
+        c["excl_pair_cap"] = state.excl.shape[0]
+        return c
+
+    c0 = snap(st)
+    st1, steps = st, 0
+    for _ in range(8):   # reaction interval is 200; react within 2000 steps
+        st1 = runner.run_block(spec, cfg, st1, 250)
+        steps += 250
+        c1 = snap(st1)
+        if c1["n_bonds"] > c0["n_bonds"]:
+            break
+    appended = c1["n_bonds"] - c0["n_bonds"]
+    assert appended > 0, "fixture must react for the rate to be measurable"
+
+    plan = 5000
+    cfg2, st2 = build.presize_term_caps(cfg, st1, c1, c0, steps, plan,
+                                        safety=1.6)
+    # cap covers current count + extrapolated consumption with margin
+    rate = appended / steps
+    assert cfg2.bond_cap >= c1["n_bonds"] + int(rate * plan * 1.6)
+    # physics-inert: same trajectory as the ungrown config
+    a = runner.run_block(spec, cfg, st1, 250)
+    b = runner.run_block(spec, cfg2, st2, 250)
+    assert np.array_equal(np.asarray(a.pos), np.asarray(b.pos))
+    assert int(a.bonds.count) == int(b.bonds.count)
+
+    # zero-rate tables don't inflate: dihedral cap unchanged when nothing
+    # appended there
+    if c1["n_dihedrals"] == c0["n_dihedrals"]:
+        assert cfg2.dihedral_cap == cfg.dihedral_cap
