@@ -78,7 +78,7 @@ def _probe_backend():
     return "cpu-fallback"
 
 
-def _bench_melt(n_mols, want_pallas, n_blocks, block_steps):
+def _bench_melt(n_mols, want_pallas, n_blocks, block_steps, tabulated=False):
     import jax
     import jax.numpy as jnp
 
@@ -86,8 +86,10 @@ def _bench_melt(n_mols, want_pallas, n_blocks, block_steps):
     from chemlab_tpu.engine import build as build_mod
     from chemlab_tpu.engine import runner
 
-    built, systop, _ = testsystems.build_melt(n_mols=n_mols, reactive=True,
-                                              use_pallas=want_pallas)
+    builder = (testsystems.build_tabulated_melt if tabulated
+               else testsystems.build_melt)
+    built, systop, _ = builder(n_mols=n_mols, reactive=True,
+                               use_pallas=want_pallas)
     spec, cfg = built.spec, built.cfg
     state = runner.initial_forces(spec, cfg, built.state)
     state = testsystems.warmup(built, state, steps=600)
@@ -174,6 +176,14 @@ def main():
         },
     }
 
+    # tabulated-workload number (rim135/dacron class, func-8 tables on every
+    # type pair) so the recorded bench reflects the majority reference
+    # workload class, not just the LJ flagship (VERDICT r3 item 6)
+    if not os.environ.get("BENCH_SKIP_TAB"):
+        rtab = _bench_melt(n_mols, want_pallas, max(n_blocks // 2, 2),
+                           block_steps, tabulated=True)
+        extra["tabulated"] = rtab
+
     # 100k variant + the explicit v5e-8 gate arithmetic (BASELINE.md:
     # >=50x single-node at 100k on 8 chips; single-chip measured here,
     # aggregate projected linearly as the upper bound)
@@ -191,6 +201,10 @@ def main():
             "gate_projection_8chip_linear": round(8 * r100["pps"], 1),
             "gate_fraction": round(8 * r100["pps"] / (50 * denom100), 4),
         }
+        if not os.environ.get("BENCH_SKIP_TAB"):
+            rtab100 = _bench_melt(large_mols, want_pallas, 2, block_steps,
+                                  tabulated=True)
+            extra["large_tabulated"] = rtab100
 
     result = {
         "metric": "particle-steps/sec (reactive atrp_lj-class melt, %dk particles)"
