@@ -75,7 +75,7 @@ def main():
     cap = cfg.cell_cap
     n_cells = int(np.prod(dims))
 
-    buckets, slot_of, overflow = neighbor.build_cell_buckets(
+    buckets, _ci, overflow, slot_of = neighbor.build_cell_buckets(
         st.pos, st.box, st.active, dims, cap)
     occ = np.asarray((buckets[:-1] >= 0).sum(axis=1))
 
