@@ -98,6 +98,14 @@ def build_parser() -> ParamsArgumentParser:
                         "measured append rate, so capacity regrowth (a "
                         "recompile) never lands mid-run (engine extra; "
                         "rate-aware proactive growth remains the backstop)")
+    g.add_argument("--cap_ladder", default=0, type=int,
+                   help="Plan N term-capacity rungs from the measured append "
+                        "rate (two reactive blocks; the later window avoids "
+                        "the activation burst) and pre-compile the stepping "
+                        "program at each rung off the hot path — mid-run "
+                        "capacity growth becomes a re-pad + compile-cache "
+                        "hit and tables stay ~1/N-tight all run (engine "
+                        "extra; supersedes --presize_caps when set)")
     g.add_argument("--timers", default=True, type=_bool,
                    help="Record the per-phase timing breakdown in the "
                         "_benchmark.pck (costs a few extra compiles at end)")

@@ -588,12 +588,17 @@ def apply_term_caps(cfg: EngineConfig, state, caps: dict,
     if cfg.bonded_dense:
         # lockstep invariant (bonded_dense.rederive): the irregular caps
         # track the canonical caps' deltas so irr_cap - (cap -
-        # n_aligned_static) never shrinks
+        # n_aligned_static) never shrinks.  A caller with irregular-count
+        # telemetry (measure_cheap's n_bonds_irr/n_angles_irr) may pass
+        # explicit irr caps instead — canonical padding rows are dead and
+        # can never become irregular, so rate-based irr sizing is as safe
+        # as rate-based canonical sizing, and far cheaper per step (every
+        # padded irr row rides the per-step gather/scatter path).
         caps = dict(caps)
-        if "bond_cap" in caps:
+        if "bond_cap" in caps and "bond_irr_cap" not in caps:
             caps["bond_irr_cap"] = max(
                 cfg.bond_irr_cap + caps["bond_cap"] - cfg.bond_cap, 128)
-        if "angle_cap" in caps:
+        if "angle_cap" in caps and "angle_irr_cap" not in caps:
             caps["angle_irr_cap"] = max(
                 cfg.angle_irr_cap + caps["angle_cap"] - cfg.angle_cap, 128)
     cfg = dataclasses.replace(cfg, **caps)
@@ -658,7 +663,14 @@ def term_caps_near_full(cfg: EngineConfig, counts: dict,
     return (low("n_bonds", cfg.bond_cap)
             or low("n_angles", cfg.angle_cap)
             or low("n_dihedrals", cfg.dihedral_cap)
-            or low("n_excl", counts.get("excl_pair_cap", 1 << 30)))
+            or low("n_excl", counts.get("excl_pair_cap", 1 << 30))
+            # irregular bonded tables (dense-static path): rate-sized irr
+            # caps need the same proactive trigger, or an overflow would
+            # silently drop terms until the sticky flag is caught
+            or ("n_bonds_irr" in counts and low("n_bonds_irr",
+                                                cfg.bond_irr_cap))
+            or ("n_angles_irr" in counts and low("n_angles_irr",
+                                                 cfg.angle_irr_cap)))
 
 
 def shrink_term_caps(cfg: EngineConfig, state, headroom: int | None = None):
@@ -739,6 +751,16 @@ def grow_term_caps(cfg: EngineConfig, state, factor: float = 1.5,
         if counts is None or cur - counts.get(count_key[f], 0) < \
                 need(count_key[f], cur):
             caps[f] = _round_up(int(max(cur, 128) * factor), 128)
+    if cfg.bonded_dense and counts is not None and "n_bonds_irr" in counts:
+        # irregular-count telemetry available: size the irr caps on their
+        # own occupancy instead of the lockstep worst case (apply_term_caps
+        # honors explicit irr caps) — padded irr rows are per-step cost
+        for irr_f, key in (("bond_irr_cap", "n_bonds_irr"),
+                           ("angle_irr_cap", "n_angles_irr")):
+            cur = getattr(cfg, irr_f)
+            grown = _round_up(int(max(cur, 128) * factor), 128) \
+                if cur - counts.get(key, 0) < need(key, cur) else cur
+            caps[irr_f] = grown
     excl_new = None
     excl_cap = state.excl.shape[0]
     if (counts is None or excl_cap - counts.get("n_excl", 0)
@@ -781,6 +803,16 @@ def presize_term_caps(cfg: EngineConfig, state, counts: dict,
         t = tgt(count_key[f], getattr(cfg, f))
         if t > getattr(cfg, f):
             caps[f] = t
+    if cfg.bonded_dense and "n_bonds_irr" in counts:
+        # irregular telemetry: size the irr caps from their OWN measured
+        # rate (every reaction-created term is irregular, so this is the
+        # rate that matters), never from the canonical caps' padding.
+        # The round-5 soak measured the lockstep alternative at ~79k dead
+        # irr angle rows — all per-step gather/scatter width (SOAK_r05.md).
+        for irr_f, key in (("bond_irr_cap", "n_bonds_irr"),
+                           ("angle_irr_cap", "n_angles_irr")):
+            caps[irr_f] = max(getattr(cfg, irr_f),
+                              tgt(key, getattr(cfg, irr_f)))
     excl_new = None
     t = tgt("n_excl", state.excl.shape[0])
     if t > state.excl.shape[0]:
@@ -788,6 +820,68 @@ def presize_term_caps(cfg: EngineConfig, state, counts: dict,
     if not caps and excl_new is None:
         return cfg, state
     return apply_term_caps(cfg, state, caps, excl_new)
+
+
+def plan_cap_ladder(cfg: EngineConfig, state, counts: dict,
+                    rate_per_step: dict, plan_steps: int, rungs: int = 3,
+                    safety: float = 1.35):
+    """Rate-projected term-capacity rungs for a planned run.
+
+    Instead of one-shot presizing for the WHOLE run (which pads every
+    per-step table by the full-run consumption up front — the round-5
+    soak paid 3.17M vs 4.67M pps steady for that padding, SOAK_r05.md),
+    plan ``rungs`` capacity points at horizons plan_steps*k/rungs.  The
+    caller pre-compiles ``run_block`` at every rung OFF the timed path
+    (jit caches by the static cfg), then steps up a rung whenever
+    :func:`term_caps_near_full` fires — the mid-run "regrow" becomes an
+    array re-pad plus a compile-cache hit instead of a ~90 s recompile,
+    and capacities track consumption within ~1/rungs of the run.
+
+    ``counts``: current occupancy (measure_cheap dict, irr keys welcome).
+    ``rate_per_step``: appends per step per counts-key (caller-measured;
+    use a post-activation-burst window — the first reactive block
+    overstates the steady rate ~2-3x).  Returns a list of
+    ``(caps_dict, excl_cap_or_None)`` rungs, strictly increasing, ready
+    for :func:`apply_term_caps`; tables with zero rate stay untouched.
+    The reference's FixedLists reallocate freely (ref
+    gromacs_topology.py:1019) so it has neither the stall nor the
+    padding tax; this recovers both at static shapes."""
+    count_key = {"bond_cap": "n_bonds", "angle_cap": "n_angles",
+                 "dihedral_cap": "n_dihedrals"}
+    if cfg.bonded_dense and "n_bonds_irr" in counts:
+        count_key["bond_irr_cap"] = "n_bonds_irr"
+        count_key["angle_irr_cap"] = "n_angles_irr"
+
+    def tgt(key, cap, horizon):
+        rate = max(0.0, rate_per_step.get(key, 0.0))
+        if rate == 0:
+            return cap
+        t = counts.get(key, 0) + int(rate * horizon * safety) \
+            + 2 * _term_headroom_floor(cap) + 256
+        return max(cap, _round_up(t, 128))
+
+    ladder = []
+    prev_caps = {f: getattr(cfg, f) for f in count_key}
+    prev_excl = state.excl.shape[0]
+    for k in range(1, rungs + 1):
+        horizon = plan_steps * k // rungs
+        caps = {f: tgt(key, prev_caps[f], horizon)
+                for f, key in count_key.items()}
+        excl = tgt("n_excl", prev_excl, horizon)
+        if all(caps[f] <= prev_caps[f] for f in caps) and excl <= prev_excl:
+            continue
+        # cumulative targets, only fields that move vs the ORIGINAL cfg
+        rung = {f: v for f, v in caps.items() if v != getattr(cfg, f)}
+        if cfg.bonded_dense and "bond_irr_cap" in count_key and \
+                ("bond_cap" in rung or "angle_cap" in rung):
+            # explicit irr caps whenever a canonical cap moves, so
+            # apply_term_caps never falls back to lockstep inflation
+            rung.setdefault("bond_irr_cap", caps["bond_irr_cap"])
+            rung.setdefault("angle_irr_cap", caps["angle_irr_cap"])
+        ladder.append((rung, excl if excl > prev_excl else None))
+        prev_caps.update(caps)
+        prev_excl = max(prev_excl, excl)
+    return ladder
 
 
 @dataclasses.dataclass

@@ -132,6 +132,13 @@ def measure_cheap(spec: SimSpec, cfg: EngineConfig, state: MDState):
         "n_dihedrals": jnp.sum(state.dihedrals.valid.astype(jnp.int32)),
         "n_excl": state.n_excl,
     }
+    if cfg.bonded_dense:
+        # irregular-table occupancy: every padded irr row costs a per-step
+        # gather + AD scatter (bonded_dense.py), so capacity planning sizes
+        # the irr caps from THIS telemetry rather than the lockstep
+        # worst-case (irr_cap tracking canonical-cap growth 1:1)
+        out["n_bonds_irr"] = jnp.sum(state.bonds_irr.valid.astype(jnp.int32))
+        out["n_angles_irr"] = jnp.sum(state.angles_irr.valid.astype(jnp.int32))
     if cfg.n_groups:
         out["group_bonds"] = observables.group_bond_counts(state.bonds,
                                                            cfg.n_groups)
@@ -165,6 +172,10 @@ def measure(spec: SimSpec, cfg: EngineConfig, state: MDState):
     out["n_angles"] = jnp.sum(state.angles.valid.astype(jnp.int32))
     out["n_dihedrals"] = jnp.sum(state.dihedrals.valid.astype(jnp.int32))
     out["n_excl"] = state.n_excl
+    if cfg.bonded_dense:
+        out["n_bonds_irr"] = jnp.sum(state.bonds_irr.valid.astype(jnp.int32))
+        out["n_angles_irr"] = jnp.sum(state.angles_irr.valid
+                                      .astype(jnp.int32))
     out["n_part"] = jnp.sum(state.active.astype(jnp.int32))
     out["max_force"] = observables.max_force(force, state.active)
     if cfg.has_fixd:

@@ -504,7 +504,9 @@ def main(argv=None):
     reactions_enabled = False
     reactions_started = False   # one-shot latch: start_ar fires exactly once
     caps_retuned = args.retune_caps < 0   # one-shot --retune_caps latch
-    caps_presized = not args.presize_caps   # one-shot --presize_caps latch
+    caps_presized = not (args.presize_caps or args.cap_ladder)
+    cap_ladder_rungs = []    # precompiled (caps, excl) rungs, FIFO
+    ladder_rate_w1 = None    # first append-rate window (burst; min'd away)
     conversion_reached = False
     eq_blocks_left = None
     need_bond_counts = any(c.kind == "bond_count" for c in criteria)
@@ -571,40 +573,86 @@ def main(argv=None):
         # once, term growth clears the flag and a genuine neighbor overflow
         # re-fires on the next block.
         counts = {kk: int(m[kk]) for kk in
-                  ("n_bonds", "n_angles", "n_dihedrals", "n_excl") if kk in m}
+                  ("n_bonds", "n_angles", "n_dihedrals", "n_excl",
+                   "n_bonds_irr", "n_angles_irr") if kk in m}
         counts["excl_pair_cap"] = state.excl.shape[0]
         if cfg.has_reactions and build.term_caps_near_full(
                 cfg, counts, prev_counts=prev_counts):
-            cfg, state = build.grow_term_caps(cfg, state, counts=counts,
-                                              prev_counts=prev_counts)
-            state = place(state)
-            print("capacity: term tables regrown to bonds=%d angles=%d "
-                  "dihedrals=%d excl=%d" % (cfg.bond_cap, cfg.angle_cap,
-                                            cfg.dihedral_cap,
-                                            state.excl.shape[0]))
+            while cap_ladder_rungs and build.term_caps_near_full(
+                    cfg, counts, prev_counts=prev_counts):
+                # precompiled ladder rung: re-pad + compile-cache hit
+                caps_r, excl_r = cap_ladder_rungs.pop(0)
+                cfg, state = build.apply_term_caps(cfg, state, caps_r, excl_r)
+                state = place(state)
+                counts["excl_pair_cap"] = state.excl.shape[0]
+                print("capacity: ladder rung to bonds=%d angles=%d excl=%d"
+                      % (cfg.bond_cap, cfg.angle_cap, state.excl.shape[0]))
+            if build.term_caps_near_full(cfg, counts,
+                                         prev_counts=prev_counts):
+                cfg, state = build.grow_term_caps(cfg, state, counts=counts,
+                                                  prev_counts=prev_counts)
+                state = place(state)
+                print("capacity: term tables regrown to bonds=%d angles=%d "
+                      "dihedrals=%d excl=%d" % (cfg.bond_cap, cfg.angle_cap,
+                                                cfg.dihedral_cap,
+                                                state.excl.shape[0]))
         elif bool(m["overflow"]):
             cfg, state = build.grow_neighbor_caps(cfg, spec, state)
             state = place(state)
             print("capacity overflow: neighbor caps regrown to K=%d cell=%d"
                   % (cfg.max_neighbors, cfg.cell_cap))
-        elif (args.presize_caps and not caps_presized and cfg.has_reactions
+        elif (not caps_presized and cfg.has_reactions
                 and reactions_enabled and prev_counts is not None
                 and any(counts.get(kk, 0) > prev_counts.get(kk, 0)
                         for kk in ("n_bonds", "n_angles", "n_dihedrals",
                                    "n_excl"))):
-            # one-shot: size the term tables for the whole remaining run from
-            # the first reactive block's measured append rate, so regrowth
-            # recompiles never land mid-run (rate-aware growth above stays
-            # the backstop if consumption accelerates beyond the margin)
-            caps_presized = True
-            plan = max(sim_steps - k, 0) * integrator_step
-            cfg, state = build.presize_term_caps(
-                cfg, state, counts, prev_counts, integrator_step, plan)
-            state = place(state)
-            print("capacity: term tables presized for %d steps to bonds=%d "
-                  "angles=%d dihedrals=%d excl=%d"
-                  % (plan, cfg.bond_cap, cfg.angle_cap, cfg.dihedral_cap,
-                     state.excl.shape[0]))
+            window = {kk: counts[kk] - prev_counts.get(kk, counts[kk])
+                      for kk in counts if kk != "excl_pair_cap"}
+            if args.cap_ladder and ladder_rate_w1 is None:
+                # first reactive window rides the activation burst and
+                # overstates the steady rate 2-3x (SOAK_r05.md) — hold for
+                # a second window and take the elementwise min
+                ladder_rate_w1 = window
+            elif args.cap_ladder:
+                caps_presized = True
+                rate = {kk: min(ladder_rate_w1.get(kk, v), v)
+                        / max(integrator_step, 1)
+                        for kk, v in window.items()}
+                plan = max(sim_steps - k, 0) * integrator_step
+                cap_ladder_rungs = build.plan_cap_ladder(
+                    cfg, state, counts, rate, plan, rungs=args.cap_ladder)
+                for caps_r, excl_r in cap_ladder_rungs:
+                    # compile each rung's stepping program NOW, off the hot
+                    # path; the state copy advances garbage and is dropped
+                    cfg_r, st_r = build.apply_term_caps(cfg, state, caps_r,
+                                                        excl_r)
+                    warm = runner.run_block(spec, cfg_r, place(st_r),
+                                            integrator_step,
+                                            rng_seed=args.rng_seed)
+                    jax.block_until_ready(warm.pos)
+                print("capacity: %d ladder rung(s) planned for %d steps "
+                      "and precompiled (top: bonds=%d angles=%d)"
+                      % (len(cap_ladder_rungs), plan,
+                         cap_ladder_rungs[-1][0].get("bond_cap",
+                                                     cfg.bond_cap)
+                         if cap_ladder_rungs else cfg.bond_cap,
+                         cap_ladder_rungs[-1][0].get("angle_cap",
+                                                     cfg.angle_cap)
+                         if cap_ladder_rungs else cfg.angle_cap))
+            else:
+                # one-shot: size the term tables for the whole remaining run
+                # from the first reactive block's measured append rate, so
+                # regrowth recompiles never land mid-run (rate-aware growth
+                # above stays the backstop if consumption accelerates)
+                caps_presized = True
+                plan = max(sim_steps - k, 0) * integrator_step
+                cfg, state = build.presize_term_caps(
+                    cfg, state, counts, prev_counts, integrator_step, plan)
+                state = place(state)
+                print("capacity: term tables presized for %d steps to "
+                      "bonds=%d angles=%d dihedrals=%d excl=%d"
+                      % (plan, cfg.bond_cap, cfg.angle_cap, cfg.dihedral_cap,
+                         state.excl.shape[0]))
         prev_counts = counts
 
         if args.trj_collect and global_step % args.trj_collect == 0:

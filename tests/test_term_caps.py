@@ -129,3 +129,117 @@ def test_presize_term_caps_covers_planned_run():
     # appended there
     if c1["n_dihedrals"] == c0["n_dihedrals"]:
         assert cfg2.dihedral_cap == cfg.dihedral_cap
+
+
+def _counts(spec, cfg, st):
+    mc = runner.measure_cheap(spec, cfg, st)
+    keys = ["n_bonds", "n_angles", "n_dihedrals", "n_excl"]
+    if "n_bonds_irr" in mc:
+        keys += ["n_bonds_irr", "n_angles_irr"]
+    c = {k: int(mc[k]) for k in keys}
+    c["excl_pair_cap"] = st.excl.shape[0]
+    return c
+
+
+def test_measure_cheap_reports_irregular_occupancy():
+    """Under the dense-static bonded default, measure_cheap exposes the
+    irregular tables' occupancy — capacity planning sizes the irr caps
+    from this telemetry instead of the lockstep worst case."""
+    built, spec, cfg, st = _reactive_state()
+    if not cfg.bonded_dense:
+        import pytest
+        pytest.skip("dense-static bonded disabled in this env")
+    c = _counts(spec, cfg, st)
+    assert c["n_bonds_irr"] == int(jnp.sum(st.bonds_irr.valid))
+    assert c["n_angles_irr"] == int(jnp.sum(st.angles_irr.valid))
+    # canonical = dense + irregular (every valid term lives in exactly one)
+    assert c["n_bonds"] == int(jnp.sum(st.bonds_dense.valid)) \
+        + c["n_bonds_irr"]
+    assert c["n_angles"] == int(jnp.sum(st.angles_dense.valid)) \
+        + c["n_angles_irr"]
+
+
+def test_apply_term_caps_honors_explicit_irr_caps():
+    """Explicit irr caps suppress the lockstep inflation: growing the
+    canonical cap by 10k must not drag 10k dead rows into the per-step
+    irregular gather path when the caller sizes irr itself."""
+    built, spec, cfg, st = _reactive_state()
+    if not cfg.bonded_dense:
+        import pytest
+        pytest.skip("dense-static bonded disabled in this env")
+    irr_keep = cfg.bond_irr_cap
+    cfg2, st2 = build.apply_term_caps(
+        cfg, st, {"bond_cap": cfg.bond_cap + 10240,
+                  "bond_irr_cap": irr_keep})
+    assert cfg2.bond_cap == cfg.bond_cap + 10240
+    assert cfg2.bond_irr_cap == irr_keep
+    assert st2.bonds_irr.idx.shape[0] == irr_keep
+    # without the explicit cap the lockstep delta applies
+    cfg3, _ = build.apply_term_caps(cfg, st,
+                                    {"bond_cap": cfg.bond_cap + 10240})
+    assert cfg3.bond_irr_cap == cfg.bond_irr_cap + 10240
+
+
+def test_near_full_fires_on_tight_irr_cap():
+    built, spec, cfg, st = _reactive_state()
+    if not cfg.bonded_dense:
+        import pytest
+        pytest.skip("dense-static bonded disabled in this env")
+    counts = _counts(spec, cfg, st)
+    assert not build.term_caps_near_full(cfg, counts)
+    tight = dataclasses.replace(cfg,
+                                angle_irr_cap=counts["n_angles_irr"] + 1)
+    assert build.term_caps_near_full(tight, counts)
+
+
+def test_plan_cap_ladder_rungs_apply_and_preserve_physics():
+    """plan_cap_ladder: rate-projected rungs are strictly increasing,
+    cumulative, and each application is physics-inert (the soak applies
+    them mid-run as precompiled cache hits, SOAK_r05.md)."""
+    built, spec, cfg, st = _reactive_state()
+
+    # react long enough to measure a rate
+    c0 = _counts(spec, cfg, st)
+    st1, steps = st, 0
+    for _ in range(8):
+        st1 = runner.run_block(spec, cfg, st1, 250)
+        steps += 250
+        c1 = _counts(spec, cfg, st1)
+        if c1["n_bonds"] > c0["n_bonds"]:
+            break
+    assert c1["n_bonds"] > c0["n_bonds"]
+    rate = {k: (c1[k] - c0[k]) / steps for k in c0
+            if k not in ("excl_pair_cap", "overflow")}
+
+    ladder = build.plan_cap_ladder(cfg, st1, c1, rate, plan_steps=20000,
+                                   rungs=3)
+    assert ladder, "a reacting system must need at least one rung"
+    # rungs grow monotonically in every field they touch
+    seen = {f: getattr(cfg, f) for f in
+            ("bond_cap", "angle_cap", "dihedral_cap",
+             "bond_irr_cap", "angle_irr_cap")}
+    excl_seen = st1.excl.shape[0]
+    for caps_r, excl_r in ladder:
+        for f, v in caps_r.items():
+            assert v >= seen[f], (f, v, seen[f])
+            seen[f] = v
+        if excl_r is not None:
+            assert excl_r > excl_seen
+            excl_seen = excl_r
+    # the last rung covers the full-plan extrapolation for the bond table
+    assert seen["bond_cap"] >= c1["n_bonds"] + int(
+        rate["n_bonds"] * 20000)
+
+    # applying every rung in order is physics-inert
+    cfg_r, st_r = cfg, st1
+    for caps_r, excl_r in ladder:
+        cfg_r, st_r = build.apply_term_caps(cfg_r, st_r, caps_r, excl_r)
+    a = runner.run_block(spec, cfg, st1, 250)
+    b = runner.run_block(spec, cfg_r, st_r, 250)
+    assert np.array_equal(np.asarray(a.pos), np.asarray(b.pos))
+    assert int(a.bonds.count) == int(b.bonds.count)
+    assert int(a.n_excl) == int(b.n_excl)
+
+    # zero rate everywhere -> no rungs
+    assert build.plan_cap_ladder(cfg, st1, c1,
+                                 {k: 0.0 for k in rate}, 20000) == []
