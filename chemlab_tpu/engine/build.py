@@ -638,8 +638,13 @@ def _term_headroom_floor(cap: int) -> int:
     round-4 soak measured exactly that flip-flop (shrink to 68352, regrow
     to 102528 at step 1000).  The 512 ceiling keeps the floor at or below
     the build's own reactive slice (``extra_bonds`` >= max(n/32, 512)),
-    so freshly built or freshly shrunk caps never trip the trigger."""
-    return max(min(512, cap // 8), cap // 64)
+    so freshly built or freshly shrunk caps never trip the trigger.
+    Floor never drops below 8 rows: one reaction event can append several
+    terms (a bond plus its generated angles), so a table within a handful
+    of rows of capacity must fire regardless of how small the cap is
+    (test-scale systems shrink caps under 64, where cap//8 rounds to 0 and
+    the trigger would otherwise stay silent until overflow)."""
+    return max(min(512, cap // 8), cap // 64, 8)
 
 
 def term_caps_near_full(cfg: EngineConfig, counts: dict,

@@ -211,9 +211,19 @@ def test_plan_cap_ladder_rungs_apply_and_preserve_physics():
     rate = {k: (c1[k] - c0[k]) / steps for k in c0
             if k not in ("excl_pair_cap", "overflow")}
 
+    # the tiny fixture reacts so slowly that the build caps already cover
+    # the whole plan — a correct planner returns NO rungs (growing a table
+    # that can't fill is pure per-step padding tax, SOAK_r05.md)
+    assert build.plan_cap_ladder(cfg, st1, c1, rate, plan_steps=20000,
+                                 rungs=3) == []
+
+    # scale the measured rate so projected consumption exceeds every cap
+    # the system actually appends to (a 100k production melt's regime,
+    # ~0.4-1 bonds/step) — now rungs must appear
+    rate = {k: v * 400 for k, v in rate.items()}
     ladder = build.plan_cap_ladder(cfg, st1, c1, rate, plan_steps=20000,
                                    rungs=3)
-    assert ladder, "a reacting system must need at least one rung"
+    assert ladder, "projected consumption beyond caps must need rungs"
     # rungs grow monotonically in every field they touch
     seen = {f: getattr(cfg, f) for f in
             ("bond_cap", "angle_cap", "dihedral_cap",
