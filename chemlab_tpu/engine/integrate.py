@@ -35,8 +35,15 @@ def _dense_of(cfg: EngineConfig, state: MDState):
     return None
 
 
-def compute_forces(spec: SimSpec, cfg: EngineConfig, state: MDState):
-    """All conservative forces + per-term potential energies + conversions."""
+def compute_forces(spec: SimSpec, cfg: EngineConfig, state: MDState,
+                   want_energy: bool = True):
+    """All conservative forces + per-term potential energies + conversions.
+
+    ``want_energy=False`` (the per-step md_step call) lets the pallas fast
+    path skip the pair-energy accumulation and — on the Chebyshev tabulated
+    branch — the energy-coefficient lookups entirely (half the per-packet
+    LUT matmuls); the returned pair energies are then zeros and must not be
+    consumed (measure/initial_forces keep the default)."""
     if cfg.needs_conversions:
         obs_x = observables.conversions(spec, state.type_id, state.chem_state,
                                         state.active)
@@ -58,7 +65,7 @@ def compute_forces(spec: SimSpec, cfg: EngineConfig, state: MDState):
                 cfg.n_types, cfg.cell_cap, cfg.mesh, interpret=interpret,
                 uniform_lj=cfg.uniform_lj,
                 cheb_kw=cfg.cheb_kw if cfg.tab_cheb else 0,
-                cheb_ko=cfg.cheb_ko)
+                cheb_ko=cfg.cheb_ko, want_energy=want_energy)
         else:
             f_all, e_lj_all, e_tab_all, _ = pallas_pair.cell_pair_forces(
                 state.pos, state.type_id, state.active, state.box,
@@ -66,7 +73,7 @@ def compute_forces(spec: SimSpec, cfg: EngineConfig, state: MDState):
                 cfg.n_types, cfg.cell_cap, interpret=interpret,
                 uniform_lj=cfg.uniform_lj, slot_of=state.nbr.slot_of,
                 cheb_kw=cfg.cheb_kw if cfg.tab_cheb else 0,
-                cheb_ko=cfg.cheb_ko)
+                cheb_ko=cfg.cheb_ko, want_energy=want_energy)
         f_ex, e_lj_ex, e_tab_ex, _ = pallas_pair.excluded_pair_correction(
             spec, cfg.n_types, state.pos, state.box, state.type_id, state.excl,
             active=state.active, has_tab=cfg.has_tabulated,
@@ -372,7 +379,7 @@ def md_step(spec: SimSpec, cfg: EngineConfig, state: MDState) -> MDState:
 
     state = maybe_rebuild_neighbors(spec, cfg, state)
 
-    force, _, _ = compute_forces(spec, cfg, state)
+    force, _, _ = compute_forces(spec, cfg, state, want_energy=False)
 
     key, sub = jax.random.split(state.key)
     if cfg.thermostat == "lv":

@@ -42,10 +42,15 @@ from . import pallas_pair
 
 def supports(cfg) -> bool:
     """Slab mode needs a mesh, >= 2 devices, and an x cell-layer count the
-    mesh divides (w >= 1; the z/y axes stay whole per device)."""
+    mesh divides (w >= 1; the z/y axes stay whole per device).
+
+    AUTO-ENABLED for qualifying meshed cfgs (CHEMLAB_HALO=0 opts out; the
+    audited per-step collective bill is strictly below the GSPMD path's,
+    MULTICHIP_r05.md) — build with ``SimOptions.slab_devices = n_devices``
+    so the cell grid's x-layer count is rounded to a dividing multiple."""
     import os
 
-    if cfg.mesh is None or os.environ.get("CHEMLAB_HALO") != "1":
+    if cfg.mesh is None or os.environ.get("CHEMLAB_HALO", "1") == "0":
         return False
     d = cfg.mesh.devices.size
     return d > 1 and cfg.cell_dims[0] % d == 0 and cfg.cell_dims[0] // d >= 1
@@ -55,7 +60,8 @@ def cell_pair_forces_halo(pos, type_id, active, box, buckets, dims, spec,
                           n_types: int, cap: int, mesh,
                           interpret: bool = False, uniform_lj: bool = False,
                           want_virial: bool = False,
-                          cheb_kw: int = 0, cheb_ko: int = 0):
+                          cheb_kw: int = 0, cheb_ko: int = 0,
+                          want_energy: bool = True):
     """Same contract as pallas_pair.cell_pair_forces (UNexcluded all-pairs
     sum; callers subtract exclusions), evaluated slab-parallel."""
     try:
@@ -86,7 +92,8 @@ def cell_pair_forces_halo(pos, type_id, active, box, buckets, dims, spec,
             n_types, cap, interpret=interpret, uniform_lj=uniform_lj,
             want_virial=want_virial, impl="colt2",
             cheb_kw=cheb_kw, cheb_ko=cheb_ko,
-            lj_on=(cheb_kw == 0), x_halo=True)   # (w*layer*cap, 4)
+            lj_on=(cheb_kw == 0), x_halo=True,
+            want_energy=want_energy)             # (w*layer*cap, 4)
         # every particle lives in exactly one slot of exactly one slab
         flat_rows = jnp.where(bloc >= 0, bloc, n).reshape(-1)
         force = jnp.zeros((n, 3), pos.dtype).at[flat_rows].set(

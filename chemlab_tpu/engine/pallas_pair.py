@@ -204,7 +204,8 @@ def _kernel(*refs,
 def _colt2_kernel(*refs, cap: int, n_types_pad: int, nz: int,
                   self_col: int, n_cols_u: int, n_packets: int,
                   uniform_lj: bool = False, want_virial: bool = False,
-                  cheb_kw: int = 0, cheb_ko: int = 0, lj_on: bool = True):
+                  cheb_kw: int = 0, cheb_ko: int = 0, lj_on: bool = True,
+                  want_energy: bool = True):
     """Rolled variant of _colt_kernel.
 
     The original colt kernel fully unrolls nz x n_packets x n_cols_u tile
@@ -233,6 +234,11 @@ def _colt2_kernel(*refs, cap: int, n_types_pad: int, nz: int,
         refs[3 + n_cols_u:8 + n_cols_u]
     cheb_ref = refs[8 + n_cols_u] if cheb_kw else None
     out_ref = refs[(9 if cheb_kw else 8) + n_cols_u]
+    # the per-step force pass needs neither the pair energy nor the virial:
+    # the energy-coefficient lookups (kw + ko cm() matmuls on the cheb path)
+    # and the e accumulation are skipped entirely, and the wrapper ships a
+    # correspondingly smaller coefficient operand (has_e gates BOTH sides)
+    has_e = want_energy and not want_virial
 
     out_ref[...] = jnp.zeros_like(out_ref)
     box = box_ref[0]
@@ -299,7 +305,7 @@ def _colt2_kernel(*refs, cap: int, n_types_pad: int, nz: int,
                 if lj_on:
                     sig = lut(sig_ref)
                     eps = lut(eps_ref)
-                    shift = lut(shift_ref)
+                    shift = lut(shift_ref) if has_e else None
                     in_cut = valid & (r2s < cut2) & (lut(islj_ref) > 0.5)
 
             if lj_on or uniform_lj:
@@ -308,8 +314,9 @@ def _colt2_kernel(*refs, cap: int, n_types_pad: int, nz: int,
                 r2c = jnp.maximum(r2s, 0.5625 * (sig * sig))
                 s2 = (sig * sig) / r2c
                 s6 = s2 * s2 * s2
-                e_lj = jnp.where(in_cut,
-                                 4.0 * eps * (s6 * s6 - s6) - shift, 0.0)
+                e_lj = (jnp.where(in_cut,
+                                  4.0 * eps * (s6 * s6 - s6) - shift, 0.0)
+                        if has_e else jnp.zeros_like(r2s))
                 f_lj = jnp.where(in_cut,
                                  48.0 * eps * (s6 * s6 - 0.5 * s6) / r2c, 0.0)
             else:
@@ -328,35 +335,60 @@ def _colt2_kernel(*refs, cap: int, n_types_pad: int, nz: int,
                                    preferred_element_type=jnp.float32)
 
                 kw, ko = cheb_kw, cheb_ko
+                # operand order must mirror cell_pair_forces_colt's mats
+                # stacking: wall_g, [wall_e], well_g, [well_e], ay, by,
+                # [ax, bx, rs2], rcap2.  No istab matrix: supports_cheb
+                # admits PURE tabulated systems only, so r2s < cut2 already
+                # implies a real tabulated pair (padding types carry
+                # cut2 = 0).
                 wall_g = [cm(k) for k in range(kw)]
-                wall_e = [cm(kw + k) for k in range(kw)]
-                o = 2 * kw
+                o = kw
+                if has_e:
+                    wall_e = [cm(o + k) for k in range(kw)]
+                    o += kw
+                else:
+                    wall_e = [jnp.zeros_like(wall_g[0])] * 2
                 if ko:
                     well_g = [cm(o + k) for k in range(ko)]
-                    well_e = [cm(o + ko + k) for k in range(ko)]
-                    o += 2 * ko
-                    ax_m, bx_m, rs2_m = cm(o + 2), cm(o + 3), cm(o + 4)
+                    o += ko
+                    if has_e:
+                        well_e = [cm(o + k) for k in range(ko)]
+                        o += ko
+                    else:
+                        well_e = [jnp.zeros_like(well_g[0])] * 2
                 else:
                     well_g = well_e = None
-                    ax_m = bx_m = rs2_m = None
                 ay_m, by_m = cm(o), cm(o + 1)
-                rcap2_m = cm(o + (5 if ko else 2))
-                istab_m = cm(o + (6 if ko else 3))
+                o += 2
+                if ko:
+                    ax_m, bx_m, rs2_m = cm(o), cm(o + 1), cm(o + 2)
+                    o += 3
+                else:
+                    ax_m = bx_m = rs2_m = None
+                rcap2_m = cm(o)
                 g_t, e_t = tab_cheb.eval_planes(
                     r2s, wall_g, wall_e, well_g, well_e,
-                    ay_m, by_m, ax_m, bx_m, rs2_m, rcap2_m, kw, ko)
-                in_cut_t = valid & (r2s < cut2) & (istab_m > 0.5)
-                e_tab = jnp.where(in_cut_t, e_t, 0.0)
+                    ay_m, by_m, ax_m, bx_m, rs2_m, rcap2_m, kw, ko,
+                    want_e=has_e)
+                in_cut_t = valid & (r2s < cut2)
                 f_tab = jnp.where(in_cut_t, g_t, 0.0)
                 f_all = f_lj + f_tab
-                e_all = e_lj + e_tab
+                if has_e:
+                    e_all = e_lj + jnp.where(in_cut_t, e_t, 0.0)
+                else:
+                    e_all = e_lj
             else:
                 f_all, e_all = f_lj, e_lj
 
             fx = jnp.sum(f_all * dr[0], axis=1)
             fy = jnp.sum(f_all * dr[1], axis=1)
             fz = jnp.sum(f_all * dr[2], axis=1)
-            ch3 = 0.5 * jnp.sum(f_all * r2s if want_virial else e_all, axis=1)
+            if want_virial:
+                ch3 = 0.5 * jnp.sum(f_all * r2s, axis=1)
+            elif has_e:
+                ch3 = 0.5 * jnp.sum(e_all, axis=1)
+            else:
+                ch3 = jnp.zeros((8,), jnp.float32)
             out4 = jnp.stack([fx, fy, fz, ch3], axis=1)          # (8, 4)
             out_ref[0, pl.ds(z * cap + p * 8, 8), :] = out4
             return carry
@@ -369,7 +401,8 @@ def cell_pair_forces_colt(pos, type_id, active, box, buckets, dims, spec,
                           uniform_lj: bool = False, slot_of=None,
                           want_virial: bool = False, impl: str = "colt2",
                           cheb_kw: int = 0, cheb_ko: int = 0,
-                          lj_on: bool = True, x_halo: bool = False):
+                          lj_on: bool = True, x_halo: bool = False,
+                          want_energy: bool = True):
     """Transpose-once column kernel (see _colt_kernel).  Same contract as
     cell_pair_forces (UNexcluded all-pairs sum); requires min(dims) >= 3
     (full 27-stencil) and cap % 8 == 0 — callers gate and fall back.
@@ -442,30 +475,35 @@ def cell_pair_forces_colt(pos, type_id, active, box, buckets, dims, spec,
         _pad_tt(is_lj, n_types, tpad),
     ]
 
+    has_e = want_energy and not want_virial
     if cheb_kw:
         if impl != "colt2":
             raise ValueError("cheb tabulated branch requires the colt2 "
                              "kernel")
         # lower the per-TABLE fit columns to per-type-pair LUT matrices and
         # stack them into one (n_mats*tpad, tpad) operand, matrix order
-        # matching _colt2_kernel's cm() indexing
+        # matching _colt2_kernel's cm() indexing: wall_g, [wall_e], well_g,
+        # [well_e], ay, by, [ax, bx, rs2], rcap2 — the energy columns ship
+        # only when the call wants energies (the per-step force pass
+        # doesn't: smaller DMA + half the coefficient matmuls)
         tabm = jnp.maximum(spec.pair_tab_a, 0)           # (T*T,) table ids
 
         def ctt(col):
             return _pad_tt(col[tabm], n_types, tpad)
 
         kw, ko = cheb_kw, cheb_ko
-        mats = ([ctt(spec.cheb_wall_g[:, k]) for k in range(kw)]
-                + [ctt(spec.cheb_wall_e[:, k]) for k in range(kw)])
+        mats = [ctt(spec.cheb_wall_g[:, k]) for k in range(kw)]
+        if has_e:
+            mats += [ctt(spec.cheb_wall_e[:, k]) for k in range(kw)]
         if ko:
-            mats += ([ctt(spec.cheb_well_g[:, k]) for k in range(ko)]
-                     + [ctt(spec.cheb_well_e[:, k]) for k in range(ko)])
+            mats += [ctt(spec.cheb_well_g[:, k]) for k in range(ko)]
+            if has_e:
+                mats += [ctt(spec.cheb_well_e[:, k]) for k in range(ko)]
         mats += [ctt(spec.cheb_ay), ctt(spec.cheb_by)]
         if ko:
             mats += [ctt(spec.cheb_ax), ctt(spec.cheb_bx),
                      ctt(spec.cheb_rs2)]
-        is_tab = (spec.pair_kind == PAIR_TAB).astype(jnp.float32)
-        mats += [ctt(spec.cheb_rcap2), _pad_tt(is_tab, n_types, tpad)]
+        mats += [ctt(spec.cheb_rcap2)]
         cheb_op = jnp.concatenate(mats, axis=0)          # (n_mats*tpad, tpad)
         cheb_ops = [cheb_op]
     else:
@@ -522,7 +560,8 @@ def cell_pair_forces_colt(pos, type_id, active, box, buckets, dims, spec,
     else:
         from .pallas_pair_variants import _colt_kernel
         kfn = _colt_kernel
-    extra_kw = (dict(cheb_kw=cheb_kw, cheb_ko=cheb_ko, lj_on=lj_on)
+    extra_kw = (dict(cheb_kw=cheb_kw, cheb_ko=cheb_ko, lj_on=lj_on,
+                     want_energy=want_energy)
                 if impl == "colt2" else {})
     call = pl_mod.pallas_call(
         functools.partial(kfn, cap=cap, n_types_pad=tpad,
@@ -576,7 +615,8 @@ def cell_pair_forces(pos, type_id, active, box, buckets, dims, spec,
                      n_types: int, cap: int, interpret: bool = False,
                      uniform_lj: bool = False, packets: bool | None = None,
                      slot_of=None, want_virial: bool = False,
-                     cheb_kw: int = 0, cheb_ko: int = 0):
+                     cheb_kw: int = 0, cheb_ko: int = 0,
+                     want_energy: bool = True):
     """All-pairs (minus nothing) cell-tile LJ forces.
 
     Returns (force (N,3), e_lj, e_tab == 0, w) over the UNexcluded all-pairs
@@ -605,7 +645,7 @@ def cell_pair_forces(pos, type_id, active, box, buckets, dims, spec,
                                      uniform_lj=False, slot_of=slot_of,
                                      want_virial=want_virial, impl="colt2",
                                      cheb_kw=cheb_kw, cheb_ko=cheb_ko,
-                                     lj_on=False)
+                                     lj_on=False, want_energy=want_energy)
 
     choice = os.environ.get("CHEMLAB_KERNEL", "")
     if not choice:
@@ -647,7 +687,8 @@ def cell_pair_forces(pos, type_id, active, box, buckets, dims, spec,
                                      uniform_lj=uniform_lj, slot_of=slot_of,
                                      want_virial=want_virial,
                                      impl="colt" if choice == "colt1"
-                                     else "colt2")
+                                     else "colt2",
+                                     want_energy=want_energy)
     if choice == "packet" and cap % 8 == 0:
         from .pallas_pair_variants import cell_pair_forces_packets
         return cell_pair_forces_packets(pos, type_id, active, box, buckets,

@@ -270,7 +270,7 @@ def fit_stack(nb_ef4: np.ndarray, nb_r0: np.ndarray, nb_dr: np.ndarray,
 # ---------------------------------------------------------------------------
 
 def eval_planes(r2, wall_g, wall_e, well_g, well_e, ay, by, ax, bx, rs2,
-                rcap2, kw: int, ko: int):
+                rcap2, kw: int, ko: int, want_e: bool = True):
     """Evaluate (G, E) = (F/r, energy) on arbitrary-shaped planes.
 
     Every operand except r2 is broadcast-compatible per-element data:
@@ -278,32 +278,39 @@ def eval_planes(r2, wall_g, wall_e, well_g, well_e, ay, by, ax, bx, rs2,
     (or scalars).  The op SEQUENCE here is the contract: the pallas kernel
     and the excluded-pair correction both run exactly these ops in exactly
     this order, so all-minus-excluded cancels at f32 rounding.
+
+    ``want_e=False`` (the per-step force pass) skips the entire energy
+    accumulation — the G op sequence is unchanged, so force cancellation
+    against the correction twin is unaffected.  E returns zeros.
     """
     r2w = jnp.maximum(r2, rcap2)
     yw = jnp.clip(ay / r2w + by, -1.0, 1.0)
     g = wall_g[0] + wall_g[1] * yw
-    e = wall_e[0] + wall_e[1] * yw
+    e = wall_e[0] + wall_e[1] * yw if want_e else None
     tkm1, tk = jnp.ones_like(yw), yw
     for k in range(2, kw):
         tn = 2.0 * yw * tk - tkm1
         g = g + wall_g[k] * tn
-        e = e + wall_e[k] * tn
+        if want_e:
+            e = e + wall_e[k] * tn
         tkm1, tk = tk, tn
     if ko > 0:
         r = r2 * jax.lax.rsqrt(r2)
         xo = jnp.clip(ax * r + bx, -1.0, 1.0)
         go = well_g[0] + well_g[1] * xo
-        eo = well_e[0] + well_e[1] * xo
+        eo = well_e[0] + well_e[1] * xo if want_e else None
         ukm1, uk = jnp.ones_like(xo), xo
         for k in range(2, ko):
             un = 2.0 * xo * uk - ukm1
             go = go + well_g[k] * un
-            eo = eo + well_e[k] * un
+            if want_e:
+                eo = eo + well_e[k] * un
             ukm1, uk = uk, un
         in_wall = r2 < rs2
         g = jnp.where(in_wall, g, go)
-        e = jnp.where(in_wall, e, eo)
-    return g, e
+        if want_e:
+            e = jnp.where(in_wall, e, eo)
+    return g, (e if want_e else jnp.zeros_like(g))
 
 
 def eval_pairs(fit_dev: dict, tab_idx, r2, kw: int, ko: int):
