@@ -87,6 +87,10 @@ class SimOptions:
     bonded_dense: bool | None = None  # None = on unless CHEMLAB_BONDED=
                                       # gather; chain terms on rolled
                                       # planes (bonded_dense.py)
+    slab_devices: int = 0  # >1: round the cell grid's x-layer count down to
+                           # a multiple so the ppermute halo slab DD
+                           # (pallas_halo.py) divides it; 0 = env
+                           # CHEMLAB_HALO_DEVICES or off
 
 
 class ObsRegistry:
@@ -1138,6 +1142,16 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
     has_barostat = opts.barostat != "no" and opts.pressure > 0
     cell_dims = neighbor.choose_cell_grid(box, rc_skin,
                                           margin=1.10 if has_barostat else 1.02)
+    # slab-halo divisibility (pallas_halo.supports): fewer, wider x-layers
+    # are always legal (cell edge >= cutoff+skin still holds), so rounding
+    # nx DOWN to a multiple of the slab device count relaxes the old
+    # "nx % n_dev == 0 or fall back to GSPMD" constraint to "nx >= n_dev"
+    slab_dev = opts.slab_devices or int(os.environ.get(
+        "CHEMLAB_HALO_DEVICES", "0"))
+    if slab_dev > 1:
+        nx_r = (cell_dims[0] // slab_dev) * slab_dev
+        if nx_r >= 3:   # colt2 needs a full 27-stencil (min dim >= 3)
+            cell_dims = (nx_r,) + tuple(cell_dims[1:])
     fudge_qq = (opts.fudge_qq if opts.fudge_qq is not None
                 else systop.defaults.get("fudgeQQ", 1.0))
     from ..units import COULOMB_PREFACTOR

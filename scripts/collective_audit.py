@@ -83,6 +83,10 @@ def main():
     if args.halo:
         args.pallas = True
         os.environ["CHEMLAB_HALO"] = "1"
+    else:
+        # halo is auto-on for qualifying meshed cfgs; the non-halo leg must
+        # pin the GSPMD baseline it exists to measure
+        os.environ["CHEMLAB_HALO"] = "0"
 
     from chemlab_tpu import testsystems
     from chemlab_tpu.engine import integrate, neighbor, runner

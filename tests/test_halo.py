@@ -81,3 +81,51 @@ def test_halo_md_step_matches(melt, monkeypatch):
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(a.vel), np.asarray(b.vel),
                                atol=1e-4)
+
+
+def test_halo_reactive_block_matches(monkeypatch):
+    """The halo pair path under the FULL reactive step (VERDICT r4 item 3):
+    a run_block crossing a reaction interval on the 4-device slab mesh must
+    reproduce the single-device trajectory AND the integer topology events
+    (reaction matching/topology updates stay GSPMD; only the pair force is
+    slab-decomposed, and each particle's force is computed wholly inside
+    its owner slab, so equality is exact, not approximate)."""
+    monkeypatch.setenv("CHEMLAB_HALO", "1")
+    built, systop, _ = testsystems.build_melt(n_mols=200, density=0.27,
+                                              reactive=True, seed=9,
+                                              use_pallas=True, max_events=16)
+    spec, cfg = built.spec, built.cfg
+    st = runner.initial_forces(spec, cfg, built.state)
+    st = testsystems.warmup(built, st, steps=50)
+    st = testsystems.activate_initiators(built, systop, st, n=6)
+    # jump to just before a reaction interval so a short block crosses it
+    st = dataclasses.replace(
+        st, step=jnp.asarray(cfg.reaction_interval - 2, jnp.int32))
+
+    a = runner.run_block(spec, cfg, st, 5)
+
+    mesh = make_mesh(4)
+    cfg_m = meshed_cfg(cfg, mesh)
+    from chemlab_tpu.engine import pallas_halo
+    assert pallas_halo.supports(cfg_m)
+    spec_s, _ = shard_system(built, mesh)
+    st_s = shard_state(mesh, st)
+    b = runner.run_block(spec_s, cfg_m, st_s, 5)
+
+    assert np.array_equal(np.asarray(a.pos), np.asarray(b.pos))
+    assert np.array_equal(np.asarray(a.bonds.idx), np.asarray(b.bonds.idx))
+    assert np.array_equal(np.asarray(a.reaction_counts),
+                          np.asarray(b.reaction_counts))
+    assert int(jnp.sum(a.reaction_counts)) > 0, \
+        "fixture must fire at least one reaction for the test to bite"
+    assert int(a.n_excl) == int(b.n_excl)
+
+
+def test_build_rounds_x_layers_for_slab_devices():
+    """SimOptions.slab_devices relaxes the halo divisibility gate: the build
+    rounds the x-layer count down to a multiple (wider cells stay legal)."""
+    built, _, _ = testsystems.build_melt(n_mols=320, density=0.27,
+                                         reactive=False, use_pallas=True,
+                                         slab_devices=4)
+    assert built.cfg.cell_dims[0] % 4 == 0
+    assert built.cfg.cell_dims[0] >= 4
