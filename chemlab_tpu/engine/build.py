@@ -1509,6 +1509,7 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
             and all(np.unique(pair_arrays[k]).size == 1
                     for k in ("pair_sig", "pair_eps", "pair_cutoff2",
                               "pair_shift"))),
+        all_lj=bool((pair_arrays["pair_kind"] == PAIR_LJ).all()),
         rx_dims=rx_dims,
         rx_cell_cap=rx_cell_cap,
         rx_k=rx_k,

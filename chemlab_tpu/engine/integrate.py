@@ -63,7 +63,7 @@ def compute_forces(spec: SimSpec, cfg: EngineConfig, state: MDState,
                 state.pos, state.type_id, state.active, state.box,
                 state.nbr.buckets, cfg.cell_dims, spec,
                 cfg.n_types, cfg.cell_cap, cfg.mesh, interpret=interpret,
-                uniform_lj=cfg.uniform_lj,
+                uniform_lj=cfg.uniform_lj, all_lj=cfg.all_lj,
                 cheb_kw=cfg.cheb_kw if cfg.tab_cheb else 0,
                 cheb_ko=cfg.cheb_ko, want_energy=want_energy)
         else:
@@ -71,7 +71,8 @@ def compute_forces(spec: SimSpec, cfg: EngineConfig, state: MDState,
                 state.pos, state.type_id, state.active, state.box,
                 state.nbr.buckets, cfg.cell_dims, spec,
                 cfg.n_types, cfg.cell_cap, interpret=interpret,
-                uniform_lj=cfg.uniform_lj, slot_of=state.nbr.slot_of,
+                uniform_lj=cfg.uniform_lj, all_lj=cfg.all_lj,
+                slot_of=state.nbr.slot_of,
                 cheb_kw=cfg.cheb_kw if cfg.tab_cheb else 0,
                 cheb_ko=cfg.cheb_ko, want_energy=want_energy)
         f_ex, e_lj_ex, e_tab_ex, _ = pallas_pair.excluded_pair_correction(
@@ -178,7 +179,8 @@ def virial_pressure(spec: SimSpec, cfg: EngineConfig, state: MDState):
                 state.pos, state.type_id, state.active, state.box,
                 state.nbr.buckets, cfg.cell_dims, spec,
                 cfg.n_types, cfg.cell_cap, cfg.mesh, interpret=interpret,
-                uniform_lj=cfg.uniform_lj, want_virial=True,
+                uniform_lj=cfg.uniform_lj, all_lj=cfg.all_lj,
+                want_virial=True,
                 cheb_kw=cfg.cheb_kw if cfg.tab_cheb else 0,
                 cheb_ko=cfg.cheb_ko)
         else:
@@ -186,8 +188,8 @@ def virial_pressure(spec: SimSpec, cfg: EngineConfig, state: MDState):
                 state.pos, state.type_id, state.active, state.box,
                 state.nbr.buckets, cfg.cell_dims, spec,
                 cfg.n_types, cfg.cell_cap, interpret=interpret,
-                uniform_lj=cfg.uniform_lj, slot_of=state.nbr.slot_of,
-                want_virial=True,
+                uniform_lj=cfg.uniform_lj, all_lj=cfg.all_lj,
+                slot_of=state.nbr.slot_of, want_virial=True,
                 cheb_kw=cfg.cheb_kw if cfg.tab_cheb else 0,
                 cheb_ko=cfg.cheb_ko)
         _, _, _, w_ex = pallas_pair.excluded_pair_correction(

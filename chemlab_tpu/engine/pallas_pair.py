@@ -131,13 +131,14 @@ def _kernel(*refs,
     xi = cpos_ref[0]                          # (cap, 4): xyz + (type+1|0)
     xj = jnp.concatenate([r[0] for r in npos_refs], axis=0)   # (S*cap, 4)
     box = box_ref[0]
+    ibox = 1.0 / box
 
     # minimum-image displacement tiles, (cap, S*cap) per axis
     dr = []
     r2 = jnp.zeros((cap, xj.shape[0]), jnp.float32)
     for ax in range(3):
         d = xi[:, ax][:, None] - xj[:, ax][None, :]
-        d = d - box[ax] * jnp.round(d / box[ax])
+        d = d - box[ax] * jnp.round(d * ibox[ax])
         dr.append(d)
         r2 = r2 + d * d
 
@@ -187,10 +188,11 @@ def _kernel(*refs,
     # subtraction noise stays ~1e-4 of thermal forces.  Real (non-excluded)
     # pairs essentially never visit r < 0.75 sigma in an equilibrated run.
     r2c = jnp.maximum(r2s, 0.5625 * (sig * sig))
-    s2 = (sig * sig) / r2c
+    inv_r2c = 1.0 / r2c
+    s2 = (sig * sig) * inv_r2c
     s6 = s2 * s2 * s2
     e_lj = jnp.where(in_cut, 4.0 * eps * (s6 * s6 - s6) - shift, 0.0)
-    f_lj = jnp.where(in_cut, 48.0 * eps * (s6 * s6 - 0.5 * s6) / r2c, 0.0)
+    f_lj = jnp.where(in_cut, 48.0 * eps * (s6 * s6 - 0.5 * s6) * inv_r2c, 0.0)
 
     fxyz = [jnp.sum(f_lj * d, axis=1) for d in dr]
     e_half = 0.5 * jnp.sum(e_lj, axis=1)
@@ -205,7 +207,7 @@ def _colt2_kernel(*refs, cap: int, n_types_pad: int, nz: int,
                   self_col: int, n_cols_u: int, n_packets: int,
                   uniform_lj: bool = False, want_virial: bool = False,
                   cheb_kw: int = 0, cheb_ko: int = 0, lj_on: bool = True,
-                  want_energy: bool = True):
+                  want_energy: bool = True, all_lj: bool = False):
     """Rolled variant of _colt_kernel.
 
     The original colt kernel fully unrolls nz x n_packets x n_cols_u tile
@@ -242,6 +244,11 @@ def _colt2_kernel(*refs, cap: int, n_types_pad: int, nz: int,
 
     out_ref[...] = jnp.zeros_like(out_ref)
     box = box_ref[0]
+    # strength-reduced minimum image: d - box * round(d * (1/box)) — one
+    # reciprocal per launch replaces three VPU divides per slot.  The
+    # excluded-pair correction runs the SAME expression (the cancellation
+    # contract), as does every kernel in this module and the variant ladder.
+    ibox = 1.0 / box
     W = 3 * cap
     L = n_cols_u * W
 
@@ -254,8 +261,28 @@ def _colt2_kernel(*refs, cap: int, n_types_pad: int, nz: int,
             iota_t = jax.lax.broadcasted_iota(
                 I32, (n_types_pad, L), 0).astype(jnp.float32)
             tj_oh_t = (xj[4][None, :] == iota_t).astype(jnp.float32)
+            # z-level half of the (ti, tj) parameter lookup: ONE (tpad, L)
+            # plane per parameter matrix, shared by every packet in the
+            # column; the per-packet half collapses to a single
+            # (8, tpad) @ (tpad, n_m*L) MXU dot.  The previous form ran
+            # TWO dots per matrix per packet — the dominant uncounted work
+            # of the measured 10.5% MFU (ROOFLINE_r05.md).
+            lj_mats = [cut2_ref]
+            if lj_on:
+                lj_mats += [sig_ref, eps_ref]
+                if has_e:
+                    lj_mats.append(shift_ref)
+                if not all_lj:
+                    # islj gates non-LJ type pairs; a system whose every
+                    # type pair IS LJ (all_lj, static) skips the plane
+                    lj_mats.append(islj_ref)
+            Pz = jnp.concatenate(
+                [jnp.dot(m[...], tj_oh_t,
+                         preferred_element_type=jnp.float32)
+                 for m in lj_mats], axis=1)            # (tpad, n_m*L)
         else:
             tj_oh_t = None
+            Pz = None
         if cheb_kw:
             # per-z half of the (type_i, type_j) coefficient lookup: one
             # (n_mats*tpad, tpad) @ (tpad, L) MXU pass shared by every
@@ -267,7 +294,7 @@ def _colt2_kernel(*refs, cap: int, n_types_pad: int, nz: int,
             Zc = None
         npk = (counts_ref[0, 0, z] + 7) // 8
 
-        def body(p, carry, z=z, xj=xj, tj_oh_t=tj_oh_t, Zc=Zc):
+        def body(p, carry, z=z, xj=xj, tj_oh_t=tj_oh_t, Zc=Zc, Pz=Pz):
             r0 = (z + 1) * cap + p * 8                 # haloed self rows
             xi = self_ref[0, pl.ds(r0, 8), :]          # (8, 8)
 
@@ -275,7 +302,7 @@ def _colt2_kernel(*refs, cap: int, n_types_pad: int, nz: int,
             r2 = jnp.zeros((8, L), jnp.float32)
             for ax in range(3):
                 d = xi[:, ax][:, None] - xj[ax][None, :]
-                d = d - box[ax] * jnp.round(d / box[ax])
+                d = d - box[ax] * jnp.round(d * ibox[ax])
                 dr.append(d)
                 r2 = r2 + d * d
 
@@ -293,32 +320,36 @@ def _colt2_kernel(*refs, cap: int, n_types_pad: int, nz: int,
                 iota_i = jax.lax.broadcasted_iota(
                     I32, (8, n_types_pad), 1).astype(jnp.float32)
                 ti_oh = (xi[:, 4][:, None] == iota_i).astype(jnp.float32)
-
-                def lut(m_ref):
-                    return jnp.dot(
-                        ti_oh,
-                        jnp.dot(m_ref[...], tj_oh_t,
-                                preferred_element_type=jnp.float32),
-                        preferred_element_type=jnp.float32)
-
-                cut2 = lut(cut2_ref)
+                # per-packet half of the parameter lookup: one fused dot
+                # against the per-z planes, then static lane slices
+                Q = jnp.dot(ti_oh, Pz, preferred_element_type=jnp.float32)
+                cut2 = Q[:, :L]
                 if lj_on:
-                    sig = lut(sig_ref)
-                    eps = lut(eps_ref)
-                    shift = lut(shift_ref) if has_e else None
-                    in_cut = valid & (r2s < cut2) & (lut(islj_ref) > 0.5)
+                    sig = Q[:, L:2 * L]
+                    eps = Q[:, 2 * L:3 * L]
+                    o = 3 * L
+                    if has_e:
+                        shift = Q[:, o:o + L]
+                        o += L
+                    else:
+                        shift = None
+                    in_cut = valid & (r2s < cut2)
+                    if not all_lj:
+                        in_cut &= Q[:, o:o + L] > 0.5
 
             if lj_on or uniform_lj:
                 # identical per-pair op sequence to _kernel /
                 # excluded_pair_correction (0.75-sigma soft core)
                 r2c = jnp.maximum(r2s, 0.5625 * (sig * sig))
-                s2 = (sig * sig) / r2c
+                inv_r2c = 1.0 / r2c
+                s2 = (sig * sig) * inv_r2c
                 s6 = s2 * s2 * s2
                 e_lj = (jnp.where(in_cut,
                                   4.0 * eps * (s6 * s6 - s6) - shift, 0.0)
                         if has_e else jnp.zeros_like(r2s))
                 f_lj = jnp.where(in_cut,
-                                 48.0 * eps * (s6 * s6 - 0.5 * s6) / r2c, 0.0)
+                                 48.0 * eps * (s6 * s6 - 0.5 * s6) * inv_r2c,
+                                 0.0)
             else:
                 e_lj = f_lj = jnp.zeros_like(r2s)
 
@@ -402,7 +433,7 @@ def cell_pair_forces_colt(pos, type_id, active, box, buckets, dims, spec,
                           want_virial: bool = False, impl: str = "colt2",
                           cheb_kw: int = 0, cheb_ko: int = 0,
                           lj_on: bool = True, x_halo: bool = False,
-                          want_energy: bool = True):
+                          want_energy: bool = True, all_lj: bool = False):
     """Transpose-once column kernel (see _colt_kernel).  Same contract as
     cell_pair_forces (UNexcluded all-pairs sum); requires min(dims) >= 3
     (full 27-stencil) and cap % 8 == 0 — callers gate and fall back.
@@ -561,7 +592,7 @@ def cell_pair_forces_colt(pos, type_id, active, box, buckets, dims, spec,
         from .pallas_pair_variants import _colt_kernel
         kfn = _colt_kernel
     extra_kw = (dict(cheb_kw=cheb_kw, cheb_ko=cheb_ko, lj_on=lj_on,
-                     want_energy=want_energy)
+                     want_energy=want_energy, all_lj=all_lj)
                 if impl == "colt2" else {})
     call = pl_mod.pallas_call(
         functools.partial(kfn, cap=cap, n_types_pad=tpad,
@@ -616,7 +647,7 @@ def cell_pair_forces(pos, type_id, active, box, buckets, dims, spec,
                      uniform_lj: bool = False, packets: bool | None = None,
                      slot_of=None, want_virial: bool = False,
                      cheb_kw: int = 0, cheb_ko: int = 0,
-                     want_energy: bool = True):
+                     want_energy: bool = True, all_lj: bool = False):
     """All-pairs (minus nothing) cell-tile LJ forces.
 
     Returns (force (N,3), e_lj, e_tab == 0, w) over the UNexcluded all-pairs
@@ -688,7 +719,7 @@ def cell_pair_forces(pos, type_id, active, box, buckets, dims, spec,
                                      want_virial=want_virial,
                                      impl="colt" if choice == "colt1"
                                      else "colt2",
-                                     want_energy=want_energy)
+                                     want_energy=want_energy, all_lj=all_lj)
     if choice == "packet" and cap % 8 == 0:
         from .pallas_pair_variants import cell_pair_forces_packets
         return cell_pair_forces_packets(pos, type_id, active, box, buckets,
@@ -837,7 +868,7 @@ def excluded_pair_correction(spec, n_types, pos, box, type_id, excl,
     # them here would inject spurious force
     valid &= (pi[:, 3] > 0.5) & (pj[:, 3] > 0.5)
     d = pi[:, :3] - pj[:, :3]
-    d = d - box * jnp.round(d / box)
+    d = d - box * jnp.round(d * (1.0 / box))
     r2 = jnp.sum(d * d, -1)
     r2s = jnp.where(valid, jnp.maximum(r2, 1e-12), 1.0)
     r = jnp.sqrt(r2s)
@@ -854,12 +885,13 @@ def excluded_pair_correction(spec, n_types, pos, box, type_id, excl,
     # contribution to the last f32 ulp — any algebraic difference leaves
     # eps*|F| of spurious force on every excluded pair
     r2c = jnp.maximum(r2s, 0.5625 * (sig * sig))
-    s2 = (sig * sig) / r2c
+    inv_r2c = 1.0 / r2c
+    s2 = (sig * sig) * inv_r2c
     s6 = s2 * s2 * s2
     lj_m = in_cut & (kind == PAIR_LJ)
     e_lj = jnp.where(lj_m, 4.0 * eps * (s6 * s6 - s6) - spec.pair_shift[pid],
                      0.0)
-    f_lj = jnp.where(lj_m, 48.0 * eps * (s6 * s6 - 0.5 * s6) / r2c, 0.0)
+    f_lj = jnp.where(lj_m, 48.0 * eps * (s6 * s6 - 0.5 * s6) * inv_r2c, 0.0)
 
     if cheb is not None:
         from . import tab_cheb

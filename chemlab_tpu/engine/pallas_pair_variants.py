@@ -69,12 +69,13 @@ def _packet_kernel(*refs, cap: int, n_types_pad: int, n_stencil: int,
     def _compute():
         xi = cpos_ref[0, pl.ds(p * 8, 8), :]  # (8, 8) sublane slice
         box = box_ref[0]
+        ibox = 1.0 / box
 
         dr = []
         r2 = jnp.zeros((8, L), jnp.float32)
         for ax in range(3):
             d = xi[:, ax][:, None] - xj_ref[ax][None, :]
-            d = d - box[ax] * jnp.round(d / box[ax])
+            d = d - box[ax] * jnp.round(d * ibox[ax])
             dr.append(d)
             r2 = r2 + d * d
 
@@ -107,10 +108,11 @@ def _packet_kernel(*refs, cap: int, n_types_pad: int, n_stencil: int,
         # identical op sequence to _kernel/excluded_pair_correction
         # (0.75-sigma soft core; see the f32-cancellation note there)
         r2c = jnp.maximum(r2s, 0.5625 * (sig * sig))
-        s2 = (sig * sig) / r2c
+        inv_r2c = 1.0 / r2c
+        s2 = (sig * sig) * inv_r2c
         s6 = s2 * s2 * s2
         e_lj = jnp.where(in_cut, 4.0 * eps * (s6 * s6 - s6) - shift, 0.0)
-        f_lj = jnp.where(in_cut, 48.0 * eps * (s6 * s6 - 0.5 * s6) / r2c, 0.0)
+        f_lj = jnp.where(in_cut, 48.0 * eps * (s6 * s6 - 0.5 * s6) * inv_r2c, 0.0)
 
         cols = [jnp.sum(f_lj * d, axis=1) for d in dr]
         cols.append(0.5 * jnp.sum(e_lj, axis=1))
@@ -173,12 +175,13 @@ def _resident_kernel(*refs, cap: int, n_types_pad: int, n_packets: int,
     def _compute():
         xi = cpos_ref[c, pl.ds(p * 8, 8), :]  # (8, 8)
         box = box_ref[0]
+        ibox = 1.0 / box
 
         dr = []
         r2 = jnp.zeros((8, L), jnp.float32)
         for ax in range(3):
             d = xi[:, ax][:, None] - xjT_ref[ax][None, :]
-            d = d - box[ax] * jnp.round(d / box[ax])
+            d = d - box[ax] * jnp.round(d * ibox[ax])
             dr.append(d)
             r2 = r2 + d * d
 
@@ -210,10 +213,11 @@ def _resident_kernel(*refs, cap: int, n_types_pad: int, n_packets: int,
 
         # identical op sequence to _kernel/excluded_pair_correction
         r2c = jnp.maximum(r2s, 0.5625 * (sig * sig))
-        s2 = (sig * sig) / r2c
+        inv_r2c = 1.0 / r2c
+        s2 = (sig * sig) * inv_r2c
         s6 = s2 * s2 * s2
         e_lj = jnp.where(in_cut, 4.0 * eps * (s6 * s6 - s6) - shift, 0.0)
-        f_lj = jnp.where(in_cut, 48.0 * eps * (s6 * s6 - 0.5 * s6) / r2c, 0.0)
+        f_lj = jnp.where(in_cut, 48.0 * eps * (s6 * s6 - 0.5 * s6) * inv_r2c, 0.0)
 
         cols = [jnp.sum(f_lj * d, axis=1) for d in dr]
         cols.append(0.5 * jnp.sum(e_lj, axis=1))
@@ -449,12 +453,13 @@ def _column_kernel(*refs, cap: int, n_types_pad: int, nz: int,
         slices.append(col_refs[col_idx[k]][0, pl.ds(zz * cap, cap), :])
     xj = jnp.concatenate(slices, axis=0)                      # (S*cap, 8)
     box = box_ref[0]
+    ibox = 1.0 / box
 
     dr = []
     r2 = jnp.zeros((cap, xj.shape[0]), jnp.float32)
     for ax in range(3):
         d = xi[:, ax][:, None] - xj[:, ax][None, :]
-        d = d - box[ax] * jnp.round(d / box[ax])
+        d = d - box[ax] * jnp.round(d * ibox[ax])
         dr.append(d)
         r2 = r2 + d * d
 
@@ -489,10 +494,11 @@ def _column_kernel(*refs, cap: int, n_types_pad: int, nz: int,
     # identical op sequence to _kernel/excluded_pair_correction
     # (0.75-sigma soft core; see the f32-cancellation note there)
     r2c = jnp.maximum(r2s, 0.5625 * (sig * sig))
-    s2 = (sig * sig) / r2c
+    inv_r2c = 1.0 / r2c
+    s2 = (sig * sig) * inv_r2c
     s6 = s2 * s2 * s2
     e_lj = jnp.where(in_cut, 4.0 * eps * (s6 * s6 - s6) - shift, 0.0)
-    f_lj = jnp.where(in_cut, 48.0 * eps * (s6 * s6 - 0.5 * s6) / r2c, 0.0)
+    f_lj = jnp.where(in_cut, 48.0 * eps * (s6 * s6 - 0.5 * s6) * inv_r2c, 0.0)
 
     fxyz = [jnp.sum(f_lj * d, axis=1) for d in dr]
     force_ref[0] = jnp.stack(
@@ -533,6 +539,7 @@ def _colz_kernel(*refs, cap: int, n_types_pad: int, nz: int,
 
     out_ref[...] = jnp.zeros_like(out_ref)
     box = box_ref[0]
+    ibox = 1.0 / box
 
     for z in range(nz):
         slices = []
@@ -557,7 +564,7 @@ def _colz_kernel(*refs, cap: int, n_types_pad: int, nz: int,
                 r2 = jnp.zeros((8, L), jnp.float32)
                 for ax in range(3):
                     d = xi[:, ax][:, None] - xj[:, ax][None, :]
-                    d = d - box[ax] * jnp.round(d / box[ax])
+                    d = d - box[ax] * jnp.round(d * ibox[ax])
                     dr.append(d)
                     r2 = r2 + d * d
 
@@ -591,12 +598,13 @@ def _colz_kernel(*refs, cap: int, n_types_pad: int, nz: int,
 
                 # identical op sequence to _kernel/excluded_pair_correction
                 r2c = jnp.maximum(r2s, 0.5625 * (sig * sig))
-                s2 = (sig * sig) / r2c
+                inv_r2c = 1.0 / r2c
+                s2 = (sig * sig) * inv_r2c
                 s6 = s2 * s2 * s2
                 e_lj = jnp.where(in_cut,
                                  4.0 * eps * (s6 * s6 - s6) - shift, 0.0)
                 f_lj = jnp.where(in_cut,
-                                 48.0 * eps * (s6 * s6 - 0.5 * s6) / r2c, 0.0)
+                                 48.0 * eps * (s6 * s6 - 0.5 * s6) * inv_r2c, 0.0)
 
                 cols = [jnp.sum(f_lj * d, axis=1) for d in dr]
                 cols.append(0.5 * jnp.sum(e_lj, axis=1))
@@ -642,6 +650,7 @@ def _colt_kernel(*refs, cap: int, n_types_pad: int, nz: int,
 
     out_ref[...] = jnp.zeros_like(out_ref)
     box = box_ref[0]
+    ibox = 1.0 / box
     W = 3 * cap
 
     for z in range(nz):
@@ -674,7 +683,7 @@ def _colt_kernel(*refs, cap: int, n_types_pad: int, nz: int,
                     r2 = jnp.zeros((8, W), jnp.float32)
                     for ax in range(3):
                         d = xi[:, ax][:, None] - w[ax][None, :]
-                        d = d - box[ax] * jnp.round(d / box[ax])
+                        d = d - box[ax] * jnp.round(d * ibox[ax])
                         dr.append(d)
                         r2 = r2 + d * d
 
@@ -707,12 +716,13 @@ def _colt_kernel(*refs, cap: int, n_types_pad: int, nz: int,
                     # identical per-pair op sequence to _kernel /
                     # excluded_pair_correction (0.75-sigma soft core)
                     r2c = jnp.maximum(r2s, 0.5625 * (sig * sig))
-                    s2 = (sig * sig) / r2c
+                    inv_r2c = 1.0 / r2c
+                    s2 = (sig * sig) * inv_r2c
                     s6 = s2 * s2 * s2
                     e_lj = jnp.where(in_cut,
                                      4.0 * eps * (s6 * s6 - s6) - shift, 0.0)
                     f_lj = jnp.where(in_cut,
-                                     48.0 * eps * (s6 * s6 - 0.5 * s6) / r2c,
+                                     48.0 * eps * (s6 * s6 - 0.5 * s6) * inv_r2c,
                                      0.0)
 
                     fx = fx + jnp.sum(f_lj * dr[0], axis=1)

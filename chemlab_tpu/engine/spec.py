@@ -125,6 +125,8 @@ class EngineConfig:
     uniform_lj: bool = False  # every type pair is PAIR_LJ with identical
                               # sig/eps/cutoff/shift: the kernel skips the
                               # one-hot parameter contractions entirely
+    all_lj: bool = False      # every type pair is PAIR_LJ (parameters may
+                              # differ): the kernel skips the islj gate plane
     # -- Chebyshev-compressed tabulated pairs on the pallas fast path
     #    (tab_cheb.py): enabled only when every USED pair table passed the
     #    build-time fit validation; degrees are part of the jit key --

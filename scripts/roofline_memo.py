@@ -82,7 +82,7 @@ def main():
     # --- real pairs within cutoff (directed), computed exactly ---
     pos = np.asarray(st.pos)
     box = np.asarray(st.box)
-    rc = float(np.sqrt(float(spec.nb_cut2.max())))
+    rc = float(np.sqrt(float(spec.pair_cutoff2.max())))
     # cell-binned exact count (numpy, fine up to ~100k)
     from collections import defaultdict
     inv = np.floor(pos / box * dims).astype(int) % dims
