@@ -512,7 +512,14 @@ def shrink_neighbor_caps(cfg: EngineConfig, spec: SimSpec, state,
                                axis=1)))
 
     caps = {}
-    new_cell = _round_up(max(int(occ * margin) + 2, 8), 8)
+    # cell_cap margin is ADDITIVE, not multiplicative: kernel candidate
+    # lanes are 27*cell_cap wide, so every margin slot costs 27 lanes per
+    # packet, and the occupancy MAX over ~10^4 cells already absorbs the
+    # Poisson tail — +25% (floor +4) covers reactive densification between
+    # retunes while overflow+grow_neighbor_caps remains the backstop.
+    # (ROOFLINE_r05.md: the old x1.4 margin held cap at 40 against a
+    # measured max occupancy of 25 — 37% pure padding in every window.)
+    new_cell = _round_up(max(occ + max(4, (occ + 3) // 4), 8), 8)
     if new_cell < cfg.cell_cap and not bool(nbr.overflow):
         caps["cell_cap"] = new_cell
     # K saturated at the current cap means the true count is unknown — skip
@@ -1351,6 +1358,31 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
                         cheb_fit.kw, cheb_fit.ko,
                         float(cheb_fit.err[used_tabs].max()))
 
+    # table-scalar kernel mode: with few distinct tables, evaluating each
+    # table's polynomial from SMEM scalars and selecting by one table-id
+    # plane replaces the kw+ko+6 per-packet MXU coefficient dots with ONE
+    # (ROOFLINE_r05.md lever).  Gated by instruction-stream growth:
+    # n_tab unrolled Clenshaw chains per packet body.
+    cheb_ntab = 0
+    cheb_tab_slot = cheb_sc = None
+    if cheb_fit is not None:
+        is_tab_pair = pair_arrays["pair_kind"] == PAIR_TAB
+        used_ids = np.unique(pair_arrays["pair_tab_a"][is_tab_pair])
+        # table stacks register one slot per type pair even when many pairs
+        # share a .pot file — dedupe by fit CONTENT (the exact f32 scalar
+        # rows) so the kernel unrolls one chain per DISTINCT table
+        pack_all = tab_cheb.pack_table_scalars(cheb_fit, used_ids)
+        uniq_rows, inv = np.unique(pack_all, axis=0, return_inverse=True)
+        if (len(uniq_rows) <= 8
+                and len(uniq_rows) * (cheb_fit.kw + cheb_fit.ko) <= 128):
+            cheb_ntab = int(len(uniq_rows))
+            slot = np.zeros(pair_arrays["pair_tab_a"].shape, np.float32)
+            for i, t in enumerate(used_ids):
+                slot[is_tab_pair
+                     & (pair_arrays["pair_tab_a"] == t)] = inv[i] + 1
+            cheb_tab_slot = slot
+            cheb_sc = uniq_rows
+
     bond_stack = bond_tb.build()
     angle_stack = angle_tb.build()
     dih_stack = dih_tb.build()
@@ -1504,6 +1536,7 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
         tab_cheb=cheb_fit is not None,
         cheb_kw=cheb_fit.kw if cheb_fit is not None else 0,
         cheb_ko=cheb_fit.ko if cheb_fit is not None else 0,
+        cheb_ntab=cheb_ntab,
         uniform_lj=bool(
             (pair_arrays["pair_kind"] == PAIR_LJ).all()
             and all(np.unique(pair_arrays[k]).size == 1
@@ -1602,7 +1635,10 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
             cheb_ax=jnp.asarray(cheb_fit.ax),
             cheb_bx=jnp.asarray(cheb_fit.bx),
             cheb_rs2=jnp.asarray(cheb_fit.rs2),
-            cheb_rcap2=jnp.asarray(cheb_fit.rcap2))),
+            cheb_rcap2=jnp.asarray(cheb_fit.rcap2),
+            **({} if cheb_ntab == 0 else dict(
+                cheb_tab_slot=jnp.asarray(cheb_tab_slot),
+                cheb_sc=jnp.asarray(cheb_sc))))),
         bond_ef=jnp.asarray(bond_stack.ef), bond_r0=jnp.asarray(bond_stack.r0),
         bond_dr=jnp.asarray(bond_stack.dr),
         angle_ef=jnp.asarray(angle_stack.ef), angle_r0=jnp.asarray(angle_stack.r0),

@@ -65,7 +65,8 @@ def compute_forces(spec: SimSpec, cfg: EngineConfig, state: MDState,
                 cfg.n_types, cfg.cell_cap, cfg.mesh, interpret=interpret,
                 uniform_lj=cfg.uniform_lj, all_lj=cfg.all_lj,
                 cheb_kw=cfg.cheb_kw if cfg.tab_cheb else 0,
-                cheb_ko=cfg.cheb_ko, want_energy=want_energy)
+                cheb_ko=cfg.cheb_ko, want_energy=want_energy,
+                cheb_ntab=cfg.cheb_ntab)
         else:
             f_all, e_lj_all, e_tab_all, _ = pallas_pair.cell_pair_forces(
                 state.pos, state.type_id, state.active, state.box,
@@ -74,7 +75,8 @@ def compute_forces(spec: SimSpec, cfg: EngineConfig, state: MDState,
                 uniform_lj=cfg.uniform_lj, all_lj=cfg.all_lj,
                 slot_of=state.nbr.slot_of,
                 cheb_kw=cfg.cheb_kw if cfg.tab_cheb else 0,
-                cheb_ko=cfg.cheb_ko, want_energy=want_energy)
+                cheb_ko=cfg.cheb_ko, want_energy=want_energy,
+                cheb_ntab=cfg.cheb_ntab)
         f_ex, e_lj_ex, e_tab_ex, _ = pallas_pair.excluded_pair_correction(
             spec, cfg.n_types, state.pos, state.box, state.type_id, state.excl,
             active=state.active, has_tab=cfg.has_tabulated,
@@ -182,7 +184,7 @@ def virial_pressure(spec: SimSpec, cfg: EngineConfig, state: MDState):
                 uniform_lj=cfg.uniform_lj, all_lj=cfg.all_lj,
                 want_virial=True,
                 cheb_kw=cfg.cheb_kw if cfg.tab_cheb else 0,
-                cheb_ko=cfg.cheb_ko)
+                cheb_ko=cfg.cheb_ko, cheb_ntab=cfg.cheb_ntab)
         else:
             _, _, _, w_all = pallas_pair.cell_pair_forces(
                 state.pos, state.type_id, state.active, state.box,
@@ -191,7 +193,7 @@ def virial_pressure(spec: SimSpec, cfg: EngineConfig, state: MDState):
                 uniform_lj=cfg.uniform_lj, all_lj=cfg.all_lj,
                 slot_of=state.nbr.slot_of, want_virial=True,
                 cheb_kw=cfg.cheb_kw if cfg.tab_cheb else 0,
-                cheb_ko=cfg.cheb_ko)
+                cheb_ko=cfg.cheb_ko, cheb_ntab=cfg.cheb_ntab)
         _, _, _, w_ex = pallas_pair.excluded_pair_correction(
             spec, cfg.n_types, state.pos, state.box, state.type_id,
             state.excl, active=state.active, has_tab=cfg.has_tabulated,

@@ -61,7 +61,8 @@ def cell_pair_forces_halo(pos, type_id, active, box, buckets, dims, spec,
                           interpret: bool = False, uniform_lj: bool = False,
                           want_virial: bool = False,
                           cheb_kw: int = 0, cheb_ko: int = 0,
-                          want_energy: bool = True, all_lj: bool = False):
+                          want_energy: bool = True, all_lj: bool = False,
+                          cheb_ntab: int = 0):
     """Same contract as pallas_pair.cell_pair_forces (UNexcluded all-pairs
     sum; callers subtract exclusions), evaluated slab-parallel."""
     try:
@@ -93,7 +94,8 @@ def cell_pair_forces_halo(pos, type_id, active, box, buckets, dims, spec,
             want_virial=want_virial, impl="colt2",
             cheb_kw=cheb_kw, cheb_ko=cheb_ko,
             lj_on=(cheb_kw == 0), x_halo=True,
-            want_energy=want_energy, all_lj=all_lj)             # (w*layer*cap, 4)
+            want_energy=want_energy, all_lj=all_lj,
+            cheb_ntab=cheb_ntab)             # (w*layer*cap, 4)
         # every particle lives in exactly one slot of exactly one slab
         flat_rows = jnp.where(bloc >= 0, bloc, n).reshape(-1)
         force = jnp.zeros((n, 3), pos.dtype).at[flat_rows].set(

@@ -207,7 +207,8 @@ def _colt2_kernel(*refs, cap: int, n_types_pad: int, nz: int,
                   self_col: int, n_cols_u: int, n_packets: int,
                   uniform_lj: bool = False, want_virial: bool = False,
                   cheb_kw: int = 0, cheb_ko: int = 0, lj_on: bool = True,
-                  want_energy: bool = True, all_lj: bool = False):
+                  want_energy: bool = True, all_lj: bool = False,
+                  cheb_ntab: int = 0):
     """Rolled variant of _colt_kernel.
 
     The original colt kernel fully unrolls nz x n_packets x n_cols_u tile
@@ -234,8 +235,20 @@ def _colt2_kernel(*refs, cap: int, n_types_pad: int, nz: int,
     box_ref = refs[2 + n_cols_u]
     sig_ref, eps_ref, cut2_ref, shift_ref, islj_ref = \
         refs[3 + n_cols_u:8 + n_cols_u]
-    cheb_ref = refs[8 + n_cols_u] if cheb_kw else None
-    out_ref = refs[(9 if cheb_kw else 8) + n_cols_u]
+    if cheb_kw and cheb_ntab:
+        # table-scalar mode: a (tpad, tpad) table-id matrix rides the fused
+        # parameter-plane lookup; per-table fit scalars arrive in SMEM
+        cheb_ref = None
+        tabmat_ref = refs[8 + n_cols_u]
+        tabsc_ref = refs[9 + n_cols_u]
+        out_ref = refs[10 + n_cols_u]
+    elif cheb_kw:
+        cheb_ref = refs[8 + n_cols_u]
+        tabmat_ref = tabsc_ref = None
+        out_ref = refs[9 + n_cols_u]
+    else:
+        cheb_ref = tabmat_ref = tabsc_ref = None
+        out_ref = refs[8 + n_cols_u]
     # the per-step force pass needs neither the pair energy nor the virial:
     # the energy-coefficient lookups (kw + ko cm() matmuls on the cheb path)
     # and the e accumulation are skipped entirely, and the wrapper ships a
@@ -243,6 +256,14 @@ def _colt2_kernel(*refs, cap: int, n_types_pad: int, nz: int,
     has_e = want_energy and not want_virial
 
     out_ref[...] = jnp.zeros_like(out_ref)
+    if cheb_kw and cheb_ntab:
+        # hoist the per-table fit scalars out of the z/packet loops: one
+        # SMEM read each, live in registers for every Clenshaw chain
+        _P = 2 * cheb_kw + 2 * cheb_ko + 6
+        tabsc = [[tabsc_ref[t, k] for k in range(_P)]
+                 for t in range(cheb_ntab)]
+    else:
+        tabsc = None
     box = box_ref[0]
     # strength-reduced minimum image: d - box * round(d * (1/box)) — one
     # reciprocal per launch replaces three VPU divides per slot.  The
@@ -276,6 +297,10 @@ def _colt2_kernel(*refs, cap: int, n_types_pad: int, nz: int,
                     # islj gates non-LJ type pairs; a system whose every
                     # type pair IS LJ (all_lj, static) skips the plane
                     lj_mats.append(islj_ref)
+            if cheb_ntab:
+                # table-scalar mode: the compact table-id plane is the ONLY
+                # per-type-pair lookup the tabulated branch needs
+                lj_mats.append(tabmat_ref)
             Pz = jnp.concatenate(
                 [jnp.dot(m[...], tj_oh_t,
                          preferred_element_type=jnp.float32)
@@ -283,11 +308,11 @@ def _colt2_kernel(*refs, cap: int, n_types_pad: int, nz: int,
         else:
             tj_oh_t = None
             Pz = None
-        if cheb_kw:
-            # per-z half of the (type_i, type_j) coefficient lookup: one
-            # (n_mats*tpad, tpad) @ (tpad, L) MXU pass shared by every
-            # packet in the column; the per-packet half is n_mats tiny
-            # (8, tpad) @ (tpad, L) dots
+        if cheb_kw and not cheb_ntab:
+            # coefficient-plane mode: per-z half of the (type_i, type_j)
+            # coefficient lookup — one (n_mats*tpad, tpad) @ (tpad, L) MXU
+            # pass shared by every packet in the column; the per-packet
+            # half is n_mats tiny (8, tpad) @ (tpad, L) dots
             Zc = jnp.dot(cheb_ref[...], tj_oh_t,
                          preferred_element_type=jnp.float32)
         else:
@@ -324,10 +349,11 @@ def _colt2_kernel(*refs, cap: int, n_types_pad: int, nz: int,
                 # against the per-z planes, then static lane slices
                 Q = jnp.dot(ti_oh, Pz, preferred_element_type=jnp.float32)
                 cut2 = Q[:, :L]
+                o = L
                 if lj_on:
-                    sig = Q[:, L:2 * L]
-                    eps = Q[:, 2 * L:3 * L]
-                    o = 3 * L
+                    sig = Q[:, o:o + L]
+                    eps = Q[:, o + L:o + 2 * L]
+                    o += 2 * L
                     if has_e:
                         shift = Q[:, o:o + L]
                         o += L
@@ -336,6 +362,9 @@ def _colt2_kernel(*refs, cap: int, n_types_pad: int, nz: int,
                     in_cut = valid & (r2s < cut2)
                     if not all_lj:
                         in_cut &= Q[:, o:o + L] > 0.5
+                        o += L
+                if cheb_ntab:
+                    tabp = Q[:, o:o + L]      # compact table slot + 1 | 0
 
             if lj_on or uniform_lj:
                 # identical per-pair op sequence to _kernel /
@@ -353,7 +382,53 @@ def _colt2_kernel(*refs, cap: int, n_types_pad: int, nz: int,
             else:
                 e_lj = f_lj = jnp.zeros_like(r2s)
 
-            if cheb_kw:
+            if cheb_kw and cheb_ntab:
+                # table-scalar mode: one Clenshaw chain per USED table from
+                # SMEM scalars, selected by the table-id plane.  The scalar
+                # values and eval_planes' op sequence are identical to the
+                # coefficient-plane mode's, so the excluded-pair correction
+                # (eval_pairs) cancels either mode at f32 rounding — while
+                # the per-packet MXU coefficient dots drop from kw+ko+6
+                # to the one fused parameter dot above (ROOFLINE_r05.md).
+                from . import tab_cheb
+
+                kw, ko = cheb_kw, cheb_ko
+                base = 2 * kw + 2 * ko
+                g_acc = jnp.zeros_like(r2s)
+                e_acc = jnp.zeros_like(r2s) if has_e else None
+                for t in range(cheb_ntab):
+                    def sc(k, t=t):
+                        return tabsc[t][k]
+
+                    wall_g = [sc(k) for k in range(kw)]
+                    wall_e = ([sc(kw + k) for k in range(kw)] if has_e
+                              else [jnp.float32(0.0)] * 2)
+                    if ko:
+                        well_g = [sc(2 * kw + k) for k in range(ko)]
+                        well_e = ([sc(2 * kw + ko + k) for k in range(ko)]
+                                  if has_e else [jnp.float32(0.0)] * 2)
+                    else:
+                        well_g = well_e = None
+                    ay_s, by_s = sc(base), sc(base + 1)
+                    ax_s, bx_s = sc(base + 2), sc(base + 3)
+                    rs2_s, rcap2_s = sc(base + 4), sc(base + 5)
+                    g_t, e_t = tab_cheb.eval_planes(
+                        r2s, wall_g, wall_e, well_g, well_e,
+                        ay_s, by_s, ax_s if ko else None,
+                        bx_s if ko else None, rs2_s if ko else None,
+                        rcap2_s, kw, ko, want_e=has_e)
+                    sel = tabp == jnp.float32(t + 1)
+                    g_acc = jnp.where(sel, g_t, g_acc)
+                    if has_e:
+                        e_acc = jnp.where(sel, e_t, e_acc)
+                in_cut_t = valid & (r2s < cut2)
+                f_tab = jnp.where(in_cut_t, g_acc, 0.0)
+                f_all = f_lj + f_tab
+                if has_e:
+                    e_all = e_lj + jnp.where(in_cut_t, e_acc, 0.0)
+                else:
+                    e_all = e_lj
+            elif cheb_kw:
                 # Chebyshev-compressed tabulated pairs (tab_cheb.py): the
                 # per-packet half of the coefficient lookup, then exactly
                 # eval_planes' op sequence (the excluded-pair correction
@@ -433,7 +508,8 @@ def cell_pair_forces_colt(pos, type_id, active, box, buckets, dims, spec,
                           want_virial: bool = False, impl: str = "colt2",
                           cheb_kw: int = 0, cheb_ko: int = 0,
                           lj_on: bool = True, x_halo: bool = False,
-                          want_energy: bool = True, all_lj: bool = False):
+                          want_energy: bool = True, all_lj: bool = False,
+                          cheb_ntab: int = 0):
     """Transpose-once column kernel (see _colt_kernel).  Same contract as
     cell_pair_forces (UNexcluded all-pairs sum); requires min(dims) >= 3
     (full 27-stencil) and cap % 8 == 0 — callers gate and fall back.
@@ -507,7 +583,15 @@ def cell_pair_forces_colt(pos, type_id, active, box, buckets, dims, spec,
     ]
 
     has_e = want_energy and not want_virial
-    if cheb_kw:
+    if cheb_kw and cheb_ntab:
+        if impl != "colt2":
+            raise ValueError("cheb tabulated branch requires the colt2 "
+                             "kernel")
+        # table-scalar mode: the compact table-id matrix joins the fused
+        # parameter-plane lookup; the fit scalars ride in SMEM
+        cheb_ops = [_pad_tt(spec.cheb_tab_slot, n_types, tpad),
+                    spec.cheb_sc.astype(jnp.float32)]
+    elif cheb_kw:
         if impl != "colt2":
             raise ValueError("cheb tabulated branch requires the colt2 "
                              "kernel")
@@ -577,6 +661,15 @@ def cell_pair_forces_colt(pos, type_id, active, box, buckets, dims, spec,
     # strided sublane chunks) and the in-kernel window reads transpose-free
     cols8hT = cols8h.transpose(0, 2, 1)                  # (CC, 8, (nz+2)cap)
 
+    if cheb_kw and cheb_ntab:
+        cheb_specs = [
+            bs((tpad, tpad), lambda c: (0, 0)),
+            bs(tuple(cheb_ops[1].shape), lambda c: (0, 0),
+               memory_space=pltpu.SMEM),
+        ]
+    else:
+        cheb_specs = [bs((op.shape[0], tpad), lambda c: (0, 0))
+                      for op in cheb_ops]
     in_specs = (
         [bs((1, 1, nz), lambda c: (c, 0, 0), memory_space=pltpu.SMEM),
          bs((1, (nz + 2) * cap, 8), colmap1_k(0, 0))]
@@ -584,7 +677,7 @@ def cell_pair_forces_colt(pos, type_id, active, box, buckets, dims, spec,
            for dx, dy in xy_list]
         + [bs((1, 8), lambda c: (0, 0))]
         + [bs((tpad, tpad), lambda c: (0, 0))] * 5
-        + [bs((op.shape[0], tpad), lambda c: (0, 0)) for op in cheb_ops]
+        + cheb_specs
     )
     if impl == "colt2":
         kfn = _colt2_kernel
@@ -592,7 +685,8 @@ def cell_pair_forces_colt(pos, type_id, active, box, buckets, dims, spec,
         from .pallas_pair_variants import _colt_kernel
         kfn = _colt_kernel
     extra_kw = (dict(cheb_kw=cheb_kw, cheb_ko=cheb_ko, lj_on=lj_on,
-                     want_energy=want_energy, all_lj=all_lj)
+                     want_energy=want_energy, all_lj=all_lj,
+                     cheb_ntab=cheb_ntab)
                 if impl == "colt2" else {})
     call = pl_mod.pallas_call(
         functools.partial(kfn, cap=cap, n_types_pad=tpad,
@@ -647,7 +741,8 @@ def cell_pair_forces(pos, type_id, active, box, buckets, dims, spec,
                      uniform_lj: bool = False, packets: bool | None = None,
                      slot_of=None, want_virial: bool = False,
                      cheb_kw: int = 0, cheb_ko: int = 0,
-                     want_energy: bool = True, all_lj: bool = False):
+                     want_energy: bool = True, all_lj: bool = False,
+                     cheb_ntab: int = 0):
     """All-pairs (minus nothing) cell-tile LJ forces.
 
     Returns (force (N,3), e_lj, e_tab == 0, w) over the UNexcluded all-pairs
@@ -676,7 +771,8 @@ def cell_pair_forces(pos, type_id, active, box, buckets, dims, spec,
                                      uniform_lj=False, slot_of=slot_of,
                                      want_virial=want_virial, impl="colt2",
                                      cheb_kw=cheb_kw, cheb_ko=cheb_ko,
-                                     lj_on=False, want_energy=want_energy)
+                                     lj_on=False, want_energy=want_energy,
+                                     cheb_ntab=cheb_ntab)
 
     choice = os.environ.get("CHEMLAB_KERNEL", "")
     if not choice:

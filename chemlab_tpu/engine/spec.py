@@ -133,6 +133,13 @@ class EngineConfig:
     tab_cheb: bool = False
     cheb_kw: int = 0          # wall-piece Chebyshev terms
     cheb_ko: int = 0          # well-piece terms (0 = single-piece tables)
+    cheb_ntab: int = 0        # table-scalar kernel mode: number of distinct
+                              # used pair tables (0 = per-type-pair
+                              # coefficient-plane mode).  With few tables the
+                              # kernel evaluates each table's polynomial from
+                              # SMEM scalars and selects by ONE table-id
+                              # plane — replacing kw+ko+6 per-packet MXU
+                              # coefficient dots with one (ROOFLINE_r05.md).
     rx_dims: tuple = (1, 1, 1)    # reaction cell grid
     rx_cell_cap: int = 8
     rx_k: int = 8             # reaction neighbor-row width
@@ -378,3 +385,8 @@ class SimSpec:
     cheb_bx: jnp.ndarray = None
     cheb_rs2: jnp.ndarray = None      # (nT,) wall/well switch on r2
     cheb_rcap2: jnp.ndarray = None    # (nT,) wall clamp radius^2
+    # table-scalar kernel mode (cfg.cheb_ntab > 0): compact used-table
+    # slot per type pair (+1, 0 = no table) and the (n_tab, P) per-table
+    # scalar pack (tab_cheb.pack_table_scalars layout)
+    cheb_tab_slot: jnp.ndarray = None  # (T*T,) float32
+    cheb_sc: jnp.ndarray = None        # (n_tab, 2kw+2ko+6) float32

@@ -265,6 +265,28 @@ def fit_stack(nb_ef4: np.ndarray, nb_r0: np.ndarray, nb_dr: np.ndarray,
                                      for f in fits]))
 
 
+def pack_table_scalars(fit: ChebTabFit, used_ids) -> np.ndarray:
+    """(n_tab, 2*kw + 2*ko + 6) scalar pack for the kernel's table-scalar
+    mode: row s holds table used_ids[s]'s fit as plain scalars in the
+    layout [wall_g(kw), wall_e(kw), well_g(ko), well_e(ko), ay, by, ax,
+    bx, rs2, rcap2].  The kernel reads these from SMEM and evaluates one
+    Clenshaw chain per table, selecting by a one-hot table-id plane —
+    values are the SAME f32 scalars the coefficient-plane mode serves via
+    MXU lookups, so the excluded-pair correction (eval_pairs) cancels the
+    result identically in either mode."""
+    kw, ko = fit.kw, fit.ko
+    out = np.zeros((len(used_ids), 2 * kw + 2 * ko + 6), np.float32)
+    for s, t in enumerate(used_ids):
+        cols = [fit.wall_g[t], fit.wall_e[t]]
+        if ko:
+            cols += [fit.well_g[t], fit.well_e[t]]
+        cols.append(np.array([fit.ay[t], fit.by[t], fit.ax[t], fit.bx[t],
+                              fit.rs2[t], fit.rcap2[t]], np.float32))
+        out[s] = np.concatenate([np.asarray(c, np.float32).ravel()
+                                 for c in cols])
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Device-side evaluation (the token-identical twin of the kernel sequence)
 # ---------------------------------------------------------------------------

@@ -133,3 +133,22 @@ def test_md_step_matches_row_path(tab_pair):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(a.vel), np.asarray(b.vel),
                                atol=5e-3)
+
+
+def test_table_scalar_mode_matches_plane_mode(tab_pair):
+    """The table-scalar kernel mode (cfg.cheb_ntab > 0: SMEM fit scalars +
+    one table-id plane) must reproduce the coefficient-plane mode — the
+    values are the same f32 scalars, only the lookup mechanism differs."""
+    _, built_p, st = tab_pair
+    assert built_p.cfg.cheb_ntab > 0, "test melt should take scalar mode"
+    st_p = _transplant(built_p, st)
+    cfg_pl = dataclasses.replace(built_p.cfg, cheb_ntab=0)
+    f_s, e_s, _ = integrate.compute_forces(built_p.spec, built_p.cfg, st_p)
+    f_pl, e_pl, _ = integrate.compute_forces(built_p.spec, cfg_pl, st_p)
+    fs = np.asarray(f_s)
+    fp = np.asarray(f_pl)
+    scale = max(float(np.abs(fp).max()), 1.0)
+    assert np.max(np.abs(fs - fp)) / scale < 1e-6, \
+        np.max(np.abs(fs - fp)) / scale
+    assert float(e_s["lj-tab"]) == pytest.approx(float(e_pl["lj-tab"]),
+                                                 rel=1e-6)
