@@ -1364,10 +1364,15 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
     # (ROOFLINE_r05.md lever).  Gated by instruction-stream growth:
     # n_tab unrolled Clenshaw chains per packet body.
     cheb_ntab = 0
-    cheb_tab_slot = cheb_sc = None
+    cheb_mix = False
+    cheb_tab_slot = cheb_sc = cheb_tab_slot_b = None
     if cheb_fit is not None:
         is_tab_pair = pair_arrays["pair_kind"] == PAIR_TAB
-        used_ids = np.unique(pair_arrays["pair_tab_a"][is_tab_pair])
+        is_mixed = is_tab_pair & (pair_arrays["pair_tab_b"]
+                                  != pair_arrays["pair_tab_a"])
+        used_ids = np.unique(np.concatenate(
+            [pair_arrays["pair_tab_a"][is_tab_pair],
+             pair_arrays["pair_tab_b"][is_tab_pair]]))
         # table stacks register one slot per type pair even when many pairs
         # share a .pot file — dedupe by fit CONTENT (the exact f32 scalar
         # rows) so the kernel unrolls one chain per DISTINCT table
@@ -1377,11 +1382,30 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
                 and len(uniq_rows) * (cheb_fit.kw + cheb_fit.ko) <= 128):
             cheb_ntab = int(len(uniq_rows))
             slot = np.zeros(pair_arrays["pair_tab_a"].shape, np.float32)
+            slot_b = np.zeros_like(slot)
             for i, t in enumerate(used_ids):
                 slot[is_tab_pair
                      & (pair_arrays["pair_tab_a"] == t)] = inv[i] + 1
+                # pure pairs keep slot_b = 0 (blend weight forced to 1)
+                slot_b[is_mixed
+                       & (pair_arrays["pair_tab_b"] == t)] = inv[i] + 1
             cheb_tab_slot = slot
             cheb_sc = uniq_rows
+            if is_mixed.any():
+                cheb_mix = True
+                cheb_tab_slot_b = slot_b
+        elif is_mixed.any():
+            # func-10/12 blending exists ONLY in the table-scalar mode —
+            # too many distinct tables sends the system to the row path
+            cheb_fit = None
+            use_pallas = False
+            if opts.cell_cap is None:
+                cell_vol = float(np.prod(box / np.asarray(cell_dims)))
+                cell_cap = _round_up(max(int(density * cell_vol * 3.0) + 8,
+                                         int(obs_cell_max * 1.3) + 4, 8), 8)
+            logger.warning("tabulated fast path disabled: mixed tables "
+                           "with >8 distinct fits — exact XLA row path "
+                           "selected")
 
     bond_stack = bond_tb.build()
     angle_stack = angle_tb.build()
@@ -1537,6 +1561,7 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
         cheb_kw=cheb_fit.kw if cheb_fit is not None else 0,
         cheb_ko=cheb_fit.ko if cheb_fit is not None else 0,
         cheb_ntab=cheb_ntab,
+        cheb_mix=cheb_mix,
         uniform_lj=bool(
             (pair_arrays["pair_kind"] == PAIR_LJ).all()
             and all(np.unique(pair_arrays[k]).size == 1
@@ -1638,7 +1663,9 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
             cheb_rcap2=jnp.asarray(cheb_fit.rcap2),
             **({} if cheb_ntab == 0 else dict(
                 cheb_tab_slot=jnp.asarray(cheb_tab_slot),
-                cheb_sc=jnp.asarray(cheb_sc))))),
+                cheb_sc=jnp.asarray(cheb_sc))),
+            **({} if not cheb_mix else dict(
+                cheb_tab_slot_b=jnp.asarray(cheb_tab_slot_b))))),
         bond_ef=jnp.asarray(bond_stack.ef), bond_r0=jnp.asarray(bond_stack.r0),
         bond_dr=jnp.asarray(bond_stack.dr),
         angle_ef=jnp.asarray(angle_stack.ef), angle_r0=jnp.asarray(angle_stack.r0),

@@ -66,7 +66,8 @@ def compute_forces(spec: SimSpec, cfg: EngineConfig, state: MDState,
                 uniform_lj=cfg.uniform_lj, all_lj=cfg.all_lj,
                 cheb_kw=cfg.cheb_kw if cfg.tab_cheb else 0,
                 cheb_ko=cfg.cheb_ko, want_energy=want_energy,
-                cheb_ntab=cfg.cheb_ntab)
+                cheb_ntab=cfg.cheb_ntab, cheb_mix=cfg.cheb_mix,
+                obs_x=obs_x)
         else:
             f_all, e_lj_all, e_tab_all, _ = pallas_pair.cell_pair_forces(
                 state.pos, state.type_id, state.active, state.box,
@@ -76,11 +77,13 @@ def compute_forces(spec: SimSpec, cfg: EngineConfig, state: MDState,
                 slot_of=state.nbr.slot_of,
                 cheb_kw=cfg.cheb_kw if cfg.tab_cheb else 0,
                 cheb_ko=cfg.cheb_ko, want_energy=want_energy,
-                cheb_ntab=cfg.cheb_ntab)
+                cheb_ntab=cfg.cheb_ntab, cheb_mix=cfg.cheb_mix,
+                obs_x=obs_x)
         f_ex, e_lj_ex, e_tab_ex, _ = pallas_pair.excluded_pair_correction(
             spec, cfg.n_types, state.pos, state.box, state.type_id, state.excl,
             active=state.active, has_tab=cfg.has_tabulated,
-            cheb=(cfg.cheb_kw, cfg.cheb_ko) if cfg.tab_cheb else None)
+            cheb=(cfg.cheb_kw, cfg.cheb_ko) if cfg.tab_cheb else None,
+            cheb_mix=cfg.cheb_mix, obs_x=obs_x)
         f_pair = f_all - f_ex
         e_pair = {"lj": e_lj_all - e_lj_ex, "lj-tab": e_tab_all - e_tab_ex,
                   "coulomb": jnp.asarray(0.0, state.pos.dtype)}
@@ -176,6 +179,9 @@ def virial_pressure(spec: SimSpec, cfg: EngineConfig, state: MDState):
         from . import pallas_halo, pallas_pair
 
         interpret = jax.default_backend() != "tpu"
+        obs_x = (observables.conversions(spec, state.type_id,
+                                         state.chem_state, state.active)
+                 if cfg.cheb_mix else None)
         if pallas_halo.supports(cfg):
             _, _, _, w_all = pallas_halo.cell_pair_forces_halo(
                 state.pos, state.type_id, state.active, state.box,
@@ -184,7 +190,8 @@ def virial_pressure(spec: SimSpec, cfg: EngineConfig, state: MDState):
                 uniform_lj=cfg.uniform_lj, all_lj=cfg.all_lj,
                 want_virial=True,
                 cheb_kw=cfg.cheb_kw if cfg.tab_cheb else 0,
-                cheb_ko=cfg.cheb_ko, cheb_ntab=cfg.cheb_ntab)
+                cheb_ko=cfg.cheb_ko, cheb_ntab=cfg.cheb_ntab,
+                cheb_mix=cfg.cheb_mix, obs_x=obs_x)
         else:
             _, _, _, w_all = pallas_pair.cell_pair_forces(
                 state.pos, state.type_id, state.active, state.box,
@@ -193,11 +200,13 @@ def virial_pressure(spec: SimSpec, cfg: EngineConfig, state: MDState):
                 uniform_lj=cfg.uniform_lj, all_lj=cfg.all_lj,
                 slot_of=state.nbr.slot_of, want_virial=True,
                 cheb_kw=cfg.cheb_kw if cfg.tab_cheb else 0,
-                cheb_ko=cfg.cheb_ko, cheb_ntab=cfg.cheb_ntab)
+                cheb_ko=cfg.cheb_ko, cheb_ntab=cfg.cheb_ntab,
+                cheb_mix=cfg.cheb_mix, obs_x=obs_x)
         _, _, _, w_ex = pallas_pair.excluded_pair_correction(
             spec, cfg.n_types, state.pos, state.box, state.type_id,
             state.excl, active=state.active, has_tab=cfg.has_tabulated,
-            cheb=(cfg.cheb_kw, cfg.cheb_ko) if cfg.tab_cheb else None)
+            cheb=(cfg.cheb_kw, cfg.cheb_ko) if cfg.tab_cheb else None,
+            cheb_mix=cfg.cheb_mix, obs_x=obs_x)
         w = (w_all - w_ex) - jax.grad(u_bonded)(
             jnp.asarray(1.0, state.pos.dtype))
     else:

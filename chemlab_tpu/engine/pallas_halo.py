@@ -62,7 +62,8 @@ def cell_pair_forces_halo(pos, type_id, active, box, buckets, dims, spec,
                           want_virial: bool = False,
                           cheb_kw: int = 0, cheb_ko: int = 0,
                           want_energy: bool = True, all_lj: bool = False,
-                          cheb_ntab: int = 0):
+                          cheb_ntab: int = 0, cheb_mix: bool = False,
+                          obs_x=None):
     """Same contract as pallas_pair.cell_pair_forces (UNexcluded all-pairs
     sum; callers subtract exclusions), evaluated slab-parallel."""
     try:
@@ -82,7 +83,7 @@ def cell_pair_forces_halo(pos, type_id, active, box, buckets, dims, spec,
     fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
     bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
 
-    def local_pair(pos, type_id, active, box, bloc, spec):
+    def local_pair(pos, type_id, active, box, bloc, spec, obs_in):
         # bloc: (w*layer, cap) — this device's slab of the bucket table
         bloc = bloc.reshape(w * layer, cap)
         left = jax.lax.ppermute(bloc[-layer:], ax_name, fwd)
@@ -95,7 +96,8 @@ def cell_pair_forces_halo(pos, type_id, active, box, buckets, dims, spec,
             cheb_kw=cheb_kw, cheb_ko=cheb_ko,
             lj_on=(cheb_kw == 0), x_halo=True,
             want_energy=want_energy, all_lj=all_lj,
-            cheb_ntab=cheb_ntab)             # (w*layer*cap, 4)
+            cheb_ntab=cheb_ntab, cheb_mix=cheb_mix,
+            obs_x=obs_in if cheb_mix else None)             # (w*layer*cap, 4)
         # every particle lives in exactly one slot of exactly one slab
         flat_rows = jnp.where(bloc >= 0, bloc, n).reshape(-1)
         force = jnp.zeros((n, 3), pos.dtype).at[flat_rows].set(
@@ -108,12 +110,14 @@ def cell_pair_forces_halo(pos, type_id, active, box, buckets, dims, spec,
         return force, ch3
 
     pspec = jax.tree_util.tree_map(lambda _: P(), spec)
+    obs_in = (obs_x if obs_x is not None
+              else jnp.zeros((1,), pos.dtype))   # replicated placeholder
     force, s3 = shard_map(
         local_pair, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(ax_name), pspec),
+        in_specs=(P(), P(), P(), P(), P(ax_name), pspec, P()),
         out_specs=(P(ax_name), P()),
         check_vma=False,
-    )(pos, type_id, active, box, buckets[:n_cells], spec)
+    )(pos, type_id, active, box, buckets[:n_cells], spec, obs_in)
 
     zero = jnp.asarray(0.0, pos.dtype)
     if want_virial:

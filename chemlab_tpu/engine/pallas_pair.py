@@ -54,12 +54,18 @@ def supports(cfg, spec_np) -> bool:
 
 def supports_cheb(spec_np) -> bool:
     """Static gate for the Chebyshev-compressed tabulated fast path
-    (tab_cheb.py): PURE tabulated systems only — caps, per-pair force
-    caps, lambda scaling, table mixing, pair-age ramps AND mixed LJ+tab
-    type maps stay on the exact XLA row path (pure-tab keeps the kernel's
-    single spare output channel an exact per-term energy).  The per-table
-    fit validation (the other half of the gate) runs in build once the
-    table stack exists."""
+    (tab_cheb.py): tabulated-only systems — caps, per-pair force caps,
+    lambda scaling, multi-range (func 9/17) mixing, pair-age ramps AND
+    mixed LJ+tab type maps stay on the exact XLA row path (pure-tab keeps
+    the kernel's single spare output channel an exact per-term energy).
+    Two-table blending (func 10 conversion-mixed / func 12 static-mixed,
+    ref gromacs_topology.py:574-583,756-790) IS admitted: the table-scalar
+    kernel mode blends x*T_a + (1-x)*T_b per pair (build falls back to the
+    row path if the distinct-table dedupe exceeds the scalar-mode budget).
+    The per-table fit validation (the other half of the gate) runs in
+    build once the table stack exists."""
+    from .spec import MIX_MULTIRANGE
+
     kinds = spec_np["pair_kind"]
     if not (kinds == PAIR_TAB).any():
         return False
@@ -68,8 +74,7 @@ def supports_cheb(spec_np) -> bool:
             or (spec_np["pair_caprad"] > 0).any()
             or (spec_np["pair_max_force"] > 0).any()
             or spec_np["pair_lam_scale"].any()
-            or (spec_np["pair_mix_mode"] != 0).any()
-            or (spec_np["pair_tab_b"] != spec_np["pair_tab_a"]).any()
+            or (spec_np["pair_mix_mode"] == MIX_MULTIRANGE).any()
             or (spec_np["pair_pps_incr"] > 0).any()):
         return False
     return True
@@ -208,7 +213,7 @@ def _colt2_kernel(*refs, cap: int, n_types_pad: int, nz: int,
                   uniform_lj: bool = False, want_virial: bool = False,
                   cheb_kw: int = 0, cheb_ko: int = 0, lj_on: bool = True,
                   want_energy: bool = True, all_lj: bool = False,
-                  cheb_ntab: int = 0):
+                  cheb_ntab: int = 0, cheb_mix: bool = False):
     """Rolled variant of _colt_kernel.
 
     The original colt kernel fully unrolls nz x n_packets x n_cols_u tile
@@ -235,13 +240,22 @@ def _colt2_kernel(*refs, cap: int, n_types_pad: int, nz: int,
     box_ref = refs[2 + n_cols_u]
     sig_ref, eps_ref, cut2_ref, shift_ref, islj_ref = \
         refs[3 + n_cols_u:8 + n_cols_u]
+    tabmat_b_ref = xmat_ref = None
     if cheb_kw and cheb_ntab:
         # table-scalar mode: a (tpad, tpad) table-id matrix rides the fused
-        # parameter-plane lookup; per-table fit scalars arrive in SMEM
+        # parameter-plane lookup; per-table fit scalars arrive in SMEM.
+        # cheb_mix adds the second-table id matrix and the per-step blend
+        # plane x (func 10/12: x*T_a + (1-x)*T_b)
         cheb_ref = None
-        tabmat_ref = refs[8 + n_cols_u]
-        tabsc_ref = refs[9 + n_cols_u]
-        out_ref = refs[10 + n_cols_u]
+        o_r = 8 + n_cols_u
+        tabmat_ref = refs[o_r]
+        o_r += 1
+        if cheb_mix:
+            tabmat_b_ref = refs[o_r]
+            xmat_ref = refs[o_r + 1]
+            o_r += 2
+        tabsc_ref = refs[o_r]
+        out_ref = refs[o_r + 1]
     elif cheb_kw:
         cheb_ref = refs[8 + n_cols_u]
         tabmat_ref = tabsc_ref = None
@@ -301,6 +315,8 @@ def _colt2_kernel(*refs, cap: int, n_types_pad: int, nz: int,
                 # table-scalar mode: the compact table-id plane is the ONLY
                 # per-type-pair lookup the tabulated branch needs
                 lj_mats.append(tabmat_ref)
+                if cheb_mix:
+                    lj_mats += [tabmat_b_ref, xmat_ref]
             Pz = jnp.concatenate(
                 [jnp.dot(m[...], tj_oh_t,
                          preferred_element_type=jnp.float32)
@@ -365,6 +381,10 @@ def _colt2_kernel(*refs, cap: int, n_types_pad: int, nz: int,
                         o += L
                 if cheb_ntab:
                     tabp = Q[:, o:o + L]      # compact table slot + 1 | 0
+                    o += L
+                    if cheb_mix:
+                        tabp_b = Q[:, o:o + L]
+                        xpl = Q[:, o + L:o + 2 * L]
 
             if lj_on or uniform_lj:
                 # identical per-pair op sequence to _kernel /
@@ -417,10 +437,25 @@ def _colt2_kernel(*refs, cap: int, n_types_pad: int, nz: int,
                         ay_s, by_s, ax_s if ko else None,
                         bx_s if ko else None, rs2_s if ko else None,
                         rcap2_s, kw, ko, want_e=has_e)
-                    sel = tabp == jnp.float32(t + 1)
-                    g_acc = jnp.where(sel, g_t, g_acc)
-                    if has_e:
-                        e_acc = jnp.where(sel, e_t, e_acc)
+                    if cheb_mix:
+                        # blend weight: x for table a, (1-x) for table b —
+                        # pure pairs carry x = 1 and slot_b = 0, so the
+                        # accumulate form reduces to the select form
+                        # exactly (fl(1*g) + fl(0*g') = g); the correction
+                        # twin computes x*g_a + (1-x)*g_b in the same op
+                        # order, preserving the cancellation contract
+                        sa = (tabp == jnp.float32(t + 1)).astype(jnp.float32)
+                        sb = (tabp_b
+                              == jnp.float32(t + 1)).astype(jnp.float32)
+                        w = xpl * sa + (1.0 - xpl) * sb
+                        g_acc = g_acc + w * g_t
+                        if has_e:
+                            e_acc = e_acc + w * e_t
+                    else:
+                        sel = tabp == jnp.float32(t + 1)
+                        g_acc = jnp.where(sel, g_t, g_acc)
+                        if has_e:
+                            e_acc = jnp.where(sel, e_t, e_acc)
                 in_cut_t = valid & (r2s < cut2)
                 f_tab = jnp.where(in_cut_t, g_acc, 0.0)
                 f_all = f_lj + f_tab
@@ -509,7 +544,8 @@ def cell_pair_forces_colt(pos, type_id, active, box, buckets, dims, spec,
                           cheb_kw: int = 0, cheb_ko: int = 0,
                           lj_on: bool = True, x_halo: bool = False,
                           want_energy: bool = True, all_lj: bool = False,
-                          cheb_ntab: int = 0):
+                          cheb_ntab: int = 0, cheb_mix: bool = False,
+                          obs_x=None):
     """Transpose-once column kernel (see _colt_kernel).  Same contract as
     cell_pair_forces (UNexcluded all-pairs sum); requires min(dims) >= 3
     (full 27-stencil) and cap % 8 == 0 — callers gate and fall back.
@@ -589,8 +625,20 @@ def cell_pair_forces_colt(pos, type_id, active, box, buckets, dims, spec,
                              "kernel")
         # table-scalar mode: the compact table-id matrix joins the fused
         # parameter-plane lookup; the fit scalars ride in SMEM
-        cheb_ops = [_pad_tt(spec.cheb_tab_slot, n_types, tpad),
-                    spec.cheb_sc.astype(jnp.float32)]
+        cheb_ops = [_pad_tt(spec.cheb_tab_slot, n_types, tpad)]
+        if cheb_mix:
+            # func-10/12 blending: second-table ids + the per-step blend
+            # factor x (conversion observable or static), forced to 1 on
+            # pure pairs so blend == select there bit-exactly
+            from .spec import MIX_OBS
+
+            x_pp = jnp.where(spec.pair_mix_mode == MIX_OBS,
+                             obs_x[spec.pair_obs], spec.pair_mix_x)
+            x_pp = jnp.where(spec.cheb_tab_slot_b > 0.5, x_pp,
+                             jnp.ones_like(x_pp))
+            cheb_ops += [_pad_tt(spec.cheb_tab_slot_b, n_types, tpad),
+                         _pad_tt(x_pp, n_types, tpad)]
+        cheb_ops.append(spec.cheb_sc.astype(jnp.float32))
     elif cheb_kw:
         if impl != "colt2":
             raise ValueError("cheb tabulated branch requires the colt2 "
@@ -662,11 +710,11 @@ def cell_pair_forces_colt(pos, type_id, active, box, buckets, dims, spec,
     cols8hT = cols8h.transpose(0, 2, 1)                  # (CC, 8, (nz+2)cap)
 
     if cheb_kw and cheb_ntab:
-        cheb_specs = [
-            bs((tpad, tpad), lambda c: (0, 0)),
-            bs(tuple(cheb_ops[1].shape), lambda c: (0, 0),
-               memory_space=pltpu.SMEM),
-        ]
+        cheb_specs = (
+            [bs((tpad, tpad), lambda c: (0, 0))] * (len(cheb_ops) - 1)
+            + [bs(tuple(cheb_ops[-1].shape), lambda c: (0, 0),
+                  memory_space=pltpu.SMEM)]
+        )
     else:
         cheb_specs = [bs((op.shape[0], tpad), lambda c: (0, 0))
                       for op in cheb_ops]
@@ -686,7 +734,7 @@ def cell_pair_forces_colt(pos, type_id, active, box, buckets, dims, spec,
         kfn = _colt_kernel
     extra_kw = (dict(cheb_kw=cheb_kw, cheb_ko=cheb_ko, lj_on=lj_on,
                      want_energy=want_energy, all_lj=all_lj,
-                     cheb_ntab=cheb_ntab)
+                     cheb_ntab=cheb_ntab, cheb_mix=cheb_mix)
                 if impl == "colt2" else {})
     call = pl_mod.pallas_call(
         functools.partial(kfn, cap=cap, n_types_pad=tpad,
@@ -742,7 +790,8 @@ def cell_pair_forces(pos, type_id, active, box, buckets, dims, spec,
                      slot_of=None, want_virial: bool = False,
                      cheb_kw: int = 0, cheb_ko: int = 0,
                      want_energy: bool = True, all_lj: bool = False,
-                     cheb_ntab: int = 0):
+                     cheb_ntab: int = 0, cheb_mix: bool = False,
+                     obs_x=None):
     """All-pairs (minus nothing) cell-tile LJ forces.
 
     Returns (force (N,3), e_lj, e_tab == 0, w) over the UNexcluded all-pairs
@@ -772,7 +821,8 @@ def cell_pair_forces(pos, type_id, active, box, buckets, dims, spec,
                                      want_virial=want_virial, impl="colt2",
                                      cheb_kw=cheb_kw, cheb_ko=cheb_ko,
                                      lj_on=False, want_energy=want_energy,
-                                     cheb_ntab=cheb_ntab)
+                                     cheb_ntab=cheb_ntab, cheb_mix=cheb_mix,
+                                     obs_x=obs_x)
 
     choice = os.environ.get("CHEMLAB_KERNEL", "")
     if not choice:
@@ -937,7 +987,8 @@ def pltpu_grid(n_cells, cap, tpad, dims, offsets):
 
 def excluded_pair_correction(spec, n_types, pos, box, type_id, excl,
                              active=None, has_tab: bool = True,
-                             cheb: tuple | None = None):
+                             cheb: tuple | None = None,
+                             cheb_mix: bool = False, obs_x=None):
     """Energy/force of the exclusion-list pairs, to subtract from the
     all-pairs kernel result (computed in plain XLA; the list is short).
 
@@ -1001,6 +1052,19 @@ def excluded_pair_correction(spec, n_types, pos, box, type_id, excl,
                        rs2=spec.cheb_rs2, rcap2=spec.cheb_rcap2)
         g_t, e_t = tab_cheb.eval_pairs(
             fit_dev, jnp.maximum(spec.pair_tab_a[pid], 0), r2s, kw, ko)
+        if cheb_mix:
+            # func-10/12 blend twin: x*T_a + (1-x)*T_b in the SAME op order
+            # as the kernel's weight-accumulate (pure pairs carry x = 1)
+            from .spec import MIX_OBS
+
+            g_b, e_b = tab_cheb.eval_pairs(
+                fit_dev, jnp.maximum(spec.pair_tab_b[pid], 0), r2s, kw, ko)
+            x = jnp.where(spec.pair_mix_mode[pid] == MIX_OBS,
+                          obs_x[spec.pair_obs[pid]], spec.pair_mix_x[pid])
+            x = jnp.where(spec.cheb_tab_slot_b[pid] > 0.5, x,
+                          jnp.ones_like(x))
+            g_t = x * g_t + (1.0 - x) * g_b
+            e_t = x * e_t + (1.0 - x) * e_b
         e_tab = jnp.where(tab_m, e_t, 0.0)
         f_tab = jnp.where(tab_m, g_t, 0.0)
     elif has_tab:

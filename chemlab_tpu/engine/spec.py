@@ -140,6 +140,11 @@ class EngineConfig:
                               # SMEM scalars and selects by ONE table-id
                               # plane — replacing kw+ko+6 per-packet MXU
                               # coefficient dots with one (ROOFLINE_r05.md).
+    cheb_mix: bool = False    # func-10/12 conversion-mixed tables on the
+                              # table-scalar path: blend x*T_a + (1-x)*T_b
+                              # per pair via a second table-id plane and a
+                              # per-step x plane (ref:
+                              # gromacs_topology.py:574-583,756-790)
     rx_dims: tuple = (1, 1, 1)    # reaction cell grid
     rx_cell_cap: int = 8
     rx_k: int = 8             # reaction neighbor-row width
@@ -390,3 +395,6 @@ class SimSpec:
     # scalar pack (tab_cheb.pack_table_scalars layout)
     cheb_tab_slot: jnp.ndarray = None  # (T*T,) float32
     cheb_sc: jnp.ndarray = None        # (n_tab, 2kw+2ko+6) float32
+    # cfg.cheb_mix: second-table slot per type pair (+1, 0 = pure pair —
+    # pure pairs blend with x forced to 1 so both modes stay bit-identical)
+    cheb_tab_slot_b: jnp.ndarray = None  # (T*T,) float32

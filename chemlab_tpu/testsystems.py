@@ -265,6 +265,61 @@ def build_tabulated_melt(n_mols: int = 2000, density: float = 0.27,
     return built, systop, coords
 
 
+def build_mixed_tab_melt(n_mols: int = 100, density: float = 0.27,
+                         kT: float = 1.0, reactive: bool = False,
+                         seed: int = 42, **opt_overrides):
+    """The tabulated melt with conversion-mixed pairs: MA-MA blends two
+    tables by the MA conversion observable (func 10) and MA-ML by a static
+    factor (func 12) — the dacron-class dynamic-scaling workload
+    (ref: gromacs_topology.py:574-583,756-790)."""
+    import os
+    import tempfile
+
+    from . import reaction_parser
+    from .engine import build
+
+    table_dir = tempfile.mkdtemp(prefix="chemlab_mixtab_")
+    write_lj_pair_tables(table_dir)
+    # two blend sources with distinct well depths
+    dr, r_max, sig = 0.002, 3.0, 1.0
+    r = np.arange(dr, r_max + dr / 2, dr)
+    for name, eps in (("mixA", 0.25), ("mixB", 0.12)):
+        sr6 = (sig / r) ** 6
+        e = 4.0 * eps * (sr6 * sr6 - sr6)
+        f = 24.0 * eps * (2.0 * sr6 * sr6 - sr6) / r
+        with open(os.path.join(table_dir, "table_%s.pot" % name), "w") as out:
+            for k in range(len(r)):
+                out.write("%.6f %.8e %.8e\n" % (r[k], e[k], f[k]))
+
+    names = sorted(MELT_TYPES)
+    nb_lines = ["", "[ nonbond_params ]"]
+    for i, t1 in enumerate(names):
+        for t2 in names[i:]:
+            if (t1, t2) == ("MA", "MA"):
+                nb_lines.append("MA MA 10 table_mixA.pot table_mixB.pot "
+                                "MA %d" % (2 * n_mols))
+            elif (t1, t2) == ("MA", "ML"):
+                nb_lines.append("MA ML 12 table_mixA.pot table_mixB.pot "
+                                "0.35")
+            else:
+                nb_lines.append("%s %s 8" % (t1, t2))
+    top_text = _melt_topology_text(n_mols) + "\n".join(nb_lines) + "\n"
+
+    top = topfile.parse_lines(top_text.splitlines(), "<generated-mixtab>")
+    systop = compile_system_topology(top)
+    coords = melt_coordinates(n_mols, density, seed=seed)
+    rcfg = None
+    if reactive:
+        rcfg = reaction_parser.parse_config_lines(ATRP_CFG_TEXT.splitlines())
+    opts_kw = dict(lj_cutoff=2.5, cg_cutoff=2.5, skin=0.4, dt=0.0025, kT=kT,
+                   thermostat="lv", thermostat_gamma=1.0, gen_velocity=True,
+                   rng_seed=seed, table_dirs=(table_dir,))
+    opts_kw.update(opt_overrides)
+    opts = build.SimOptions(**opts_kw)
+    built = build.build_system(systop, coords, opts, reaction_config=rcfg)
+    return built, systop, coords
+
+
 def warmup(built, state, steps: int = 400, max_disp: float = 0.05, kT=None,
            seed: int = 7, chunk: int = 100, **_legacy):
     """Resolve overlaps in a random configuration, then re-draw velocities.

@@ -152,3 +152,33 @@ def test_table_scalar_mode_matches_plane_mode(tab_pair):
         np.max(np.abs(fs - fp)) / scale
     assert float(e_s["lj-tab"]) == pytest.approx(float(e_pl["lj-tab"]),
                                                  rel=1e-6)
+
+
+def test_mixed_tables_fast_path_matches_row_path():
+    """func-10 (conversion-mixed) + func-12 (static-mixed) pairs on the
+    table-scalar fast path: x*T_a + (1-x)*T_b per pair must match the XLA
+    row path's mixing (ref: gromacs_topology.py:574-583,756-790)."""
+    built_x, _, _ = testsystems.build_mixed_tab_melt(
+        n_mols=100, seed=11, use_pallas=False)
+    built_p, _, _ = testsystems.build_mixed_tab_melt(
+        n_mols=100, seed=11, use_pallas=True)
+    assert not built_x.cfg.use_pallas
+    assert built_p.cfg.use_pallas and built_p.cfg.tab_cheb
+    assert built_p.cfg.cheb_ntab > 0 and built_p.cfg.cheb_mix
+
+    st = runner.initial_forces(built_x.spec, built_x.cfg, built_x.state)
+    st = testsystems.warmup(built_x, st, steps=100)
+    st_p = _transplant(built_p, st)
+    f_x, e_x, _ = integrate.compute_forces(built_x.spec, built_x.cfg, st)
+    f_p, e_p, _ = integrate.compute_forces(built_p.spec, built_p.cfg, st_p)
+    fx = np.asarray(f_x)
+    fp = np.asarray(f_p)
+    scale = max(float(np.abs(fx).max()), 1.0)
+    assert np.max(np.abs(fx - fp)) / scale < 3e-3, \
+        np.max(np.abs(fx - fp)) / scale
+    assert float(e_p["lj-tab"]) == pytest.approx(float(e_x["lj-tab"]),
+                                                 rel=5e-3)
+    # virial agrees too (NPT on the mixed fast path)
+    p_x = float(integrate.virial_pressure(built_x.spec, built_x.cfg, st))
+    p_p = float(integrate.virial_pressure(built_p.spec, built_p.cfg, st_p))
+    assert p_p == pytest.approx(p_x, rel=1e-2, abs=5e-3), (p_x, p_p)
