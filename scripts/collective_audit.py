@@ -95,7 +95,10 @@ def main():
 
     built, systop, _ = testsystems.build_melt(
         n_mols=args.n_mols, reactive=True,
-        **({"use_pallas": True} if args.pallas else {}))
+        **({"use_pallas": True} if args.pallas else {}),
+        # the halo leg needs an x-layer count the 8-mesh divides or
+        # pallas_halo.supports() silently falls back to GSPMD
+        **({"slab_devices": 8} if args.halo else {}))
     spec, cfg = built.spec, built.cfg
     st = runner.initial_forces(spec, cfg, built.state)
 
