@@ -572,31 +572,32 @@ def cell_pair_forces_colt(pos, type_id, active, box, buckets, dims, spec,
     nx, ny, nz = (int(d) for d in dims)
     n_cells = nx * ny * nz
     n = pos.shape[0]
+    tv_all = jnp.where(active, type_id + 1, 0).astype(pos.dtype)
+    packed = jnp.concatenate([pos, tv_all[:, None]], axis=-1)       # (N, 4)
     if slot_of is not None and os.environ.get("CHEMLAB_DENSE") == "scatter":
-        # scatter N packed rows into zeros (holes: valid=0) — opt-in; the
-        # masked gather build measured faster on v5e (see cell_pair_forces)
-        packed8 = jnp.concatenate(
-            [pos, jnp.where(active, 1.0, 0.0)[:, None].astype(pos.dtype),
-             type_id.astype(pos.dtype)[:, None],
-             jnp.zeros((n, 3), pos.dtype)], axis=-1)        # (N, 8)
-        cpos8 = jnp.zeros((n_cells * cap, 8), pos.dtype).at[slot_of].set(
-            packed8, mode="drop").reshape(n_cells, cap, 8)
+        # scatter N packed 16-byte rows into zeros (holes: tv=0 -> valid=0).
+        # slot_of is an exact inverse (one particle per slot), so
+        # unique_indices lets the scatter lower unserialized — the old
+        # 8-wide variant without it measured slower than the gather
+        # (TPU_NUMBERS_r04); re-tried after ROOFLINE_r05 flagged the
+        # C*cap-row gather (A/B: scripts/dense_mode_micro.py)
+        g = jnp.zeros((n_cells * cap, 4), pos.dtype).at[slot_of].set(
+            packed, mode="drop", unique_indices=True
+        ).reshape(n_cells, cap, 4)
     else:
         # ONE packed 16-byte-row gather (same expression as the cell
         # kernel's wrapper, so XLA CSE shares it within a step); the valid
         # and type channels are derived from the packed type+1|0 channel
         # with elementwise ops instead of two further (C, cap) gathers
         rows = jnp.maximum(buckets[:n_cells], 0)            # (C, cap)
-        tv_all = jnp.where(active, type_id + 1, 0).astype(pos.dtype)
-        packed = jnp.concatenate([pos, tv_all[:, None]], axis=-1)   # (N, 4)
         g = jnp.where((buckets[:n_cells] >= 0)[..., None], packed[rows], 0.0)
-        tv = g[..., 3]
-        slot_valid = tv > 0.5            # bucket-valid AND active, by packing
-        cpos8 = jnp.concatenate(
-            [g[..., :3],
-             (tv > 0.5).astype(pos.dtype)[..., None],
-             jnp.maximum(tv - 1.0, 0.0)[..., None],
-             jnp.zeros(rows.shape + (3,), pos.dtype)], axis=-1)
+    tv = g[..., 3]
+    slot_valid = tv > 0.5                # bucket-valid AND active, by packing
+    cpos8 = jnp.concatenate(
+        [g[..., :3],
+         (tv > 0.5).astype(pos.dtype)[..., None],
+         jnp.maximum(tv - 1.0, 0.0)[..., None],
+         jnp.zeros(g.shape[:2] + (3,), pos.dtype)], axis=-1)
     cols8 = cpos8.reshape(nx * ny, nz * cap, 8)
     # z-halo: [last cell | column | first cell] so every stencil window is
     # one contiguous lane slice after the in-kernel transpose
@@ -887,12 +888,13 @@ def cell_pair_forces(pos, type_id, active, box, buckets, dims, spec,
     packed = jnp.concatenate([pos, tv[:, None]], axis=-1)   # (N, 4)
     if slot_of is not None and os.environ.get("CHEMLAB_DENSE") == "scatter":
         # scatter N rows into zeros instead of gathering C*cap rows — fewer
-        # rows moved, but measured SLOWER than the masked gather on v5e
-        # (100k: 45.7 vs 43.2 ms kernel call, 1.52M vs 1.58M pps fused;
-        # 10k: tie) — the scatter's zero-init + serialization outweighs the
-        # row-count saving, so the gather build is the default
+        # rows moved; slot_of is an exact inverse (one particle per slot),
+        # so unique_indices lets the scatter lower unserialized (without
+        # it this variant measured SLOWER than the gather: 45.7 vs 43.2 ms
+        # at 100k, TPU_NUMBERS_r04; A/B: scripts/dense_mode_micro.py)
         cpos = jnp.zeros((n_cells * cap, 4), pos.dtype).at[slot_of].set(
-            packed, mode="drop").reshape(n_cells, cap, 4)
+            packed, mode="drop", unique_indices=True
+        ).reshape(n_cells, cap, 4)
     else:
         rows = jnp.maximum(buckets[:n_cells], 0)            # (C, cap)
         cpos = jnp.where((buckets[:n_cells] >= 0)[..., None],
@@ -985,52 +987,36 @@ def pltpu_grid(n_cells, cap, tpad, dims, offsets):
     )
 
 
-def excluded_pair_correction(spec, n_types, pos, box, type_id, excl,
-                             active=None, has_tab: bool = True,
-                             cheb: tuple | None = None,
-                             cheb_mix: bool = False, obs_x=None):
-    """Energy/force of the exclusion-list pairs, to subtract from the
-    all-pairs kernel result (computed in plain XLA; the list is short).
+def _pair_eval(spec, n_types, pi, pj, box, valid, has_tab: bool = True,
+               cheb: tuple | None = None, cheb_mix: bool = False,
+               obs_x=None):
+    """Per-pair correction terms for packed endpoint rows of ANY leading
+    shape: ``pi``/``pj`` are (..., 4) [x, y, z, type+1|0] rows, ``valid``
+    (...,) bool.  Returns (d, f_scalar, e_lj, e_tab) elementwise — the
+    caller owns force assembly (flat scatter-add vs rolled planes).
 
-    ``cheb=(kw, ko)`` selects the Chebyshev-fit evaluation for tabulated
-    pairs (tab_cheb.eval_pairs — the token-identical twin of the colt2
-    kernel's tab branch) instead of the 4096-bin interpolation: when the
-    kernel served cheb values, the subtraction must cancel THOSE."""
-    i = excl[:, 0]
-    j = excl[:, 1]
-    valid = (i >= 0) & (j >= 0)
-    ic = jnp.maximum(i, 0)
-    jc = jnp.maximum(j, 0)
-    # packed [x, y, z, type+1|0] rows — one 16-byte-row gather per endpoint
-    # instead of pos + type + active gathers; the same packing expression as
-    # the cell kernel's wrapper, so XLA CSE shares the array within a step
-    if active is not None:
-        tv = jnp.where(active, type_id + 1, 0).astype(pos.dtype)
-    else:
-        tv = (type_id + 1).astype(pos.dtype)
-    packed = jnp.concatenate([pos, tv[:, None]], axis=-1)
-    pi = packed[ic]
-    pj = packed[jc]
+    EXACTLY the kernel's op sequence (0.75-sigma soft-core clamp, s2 then
+    s2*s2*s2, literal 4.0/48.0): the subtraction must cancel the kernel's
+    contribution to the last f32 ulp — any algebraic difference leaves
+    eps*|F| of spurious force on every excluded pair.  Shared by the flat
+    exclusion correction and the dense-static rolled-plane leg
+    (excl_dense.py) so the two legs are token-identical per element."""
     # the kernel never added pairs with inactive endpoints; subtracting
     # them here would inject spurious force
-    valid &= (pi[:, 3] > 0.5) & (pj[:, 3] > 0.5)
-    d = pi[:, :3] - pj[:, :3]
+    valid = valid & (pi[..., 3] > 0.5) & (pj[..., 3] > 0.5)
+    d = pi[..., :3] - pj[..., :3]
     d = d - box * jnp.round(d * (1.0 / box))
     r2 = jnp.sum(d * d, -1)
     r2s = jnp.where(valid, jnp.maximum(r2, 1e-12), 1.0)
     r = jnp.sqrt(r2s)
-    ti = jnp.maximum(pi[:, 3].astype(I32) - 1, 0)
-    tj = jnp.maximum(pj[:, 3].astype(I32) - 1, 0)
+    ti = jnp.maximum(pi[..., 3].astype(I32) - 1, 0)
+    tj = jnp.maximum(pj[..., 3].astype(I32) - 1, 0)
     pid = ti * n_types + tj
     kind = spec.pair_kind[pid]
     in_cut = valid & (r2s < spec.pair_cutoff2[pid])
 
     sig = spec.pair_sig[pid]
     eps = spec.pair_eps[pid]
-    # EXACTLY the kernel's op sequence (0.75-sigma soft-core clamp, s2 then
-    # s2*s2*s2, literal 4.0/48.0): the subtraction must cancel the kernel's
-    # contribution to the last f32 ulp — any algebraic difference leaves
-    # eps*|F| of spurious force on every excluded pair
     r2c = jnp.maximum(r2s, 0.5625 * (sig * sig))
     inv_r2c = 1.0 / r2c
     s2 = (sig * sig) * inv_r2c
@@ -1078,15 +1064,47 @@ def excluded_pair_correction(spec, n_types, pos, box, type_id, excl,
     else:
         e_tab = jnp.zeros_like(e_lj)
         f_tab = jnp.zeros_like(f_lj)
+    return d, f_lj + f_tab, e_lj, e_tab, r2s, valid
 
-    f_over_r = (f_lj + f_tab)[:, None] * d
+
+def excluded_pair_correction(spec, n_types, pos, box, type_id, excl,
+                             active=None, has_tab: bool = True,
+                             cheb: tuple | None = None,
+                             cheb_mix: bool = False, obs_x=None):
+    """Energy/force of the exclusion-list pairs, to subtract from the
+    all-pairs kernel result (computed in plain XLA; the list is short).
+
+    ``cheb=(kw, ko)`` selects the Chebyshev-fit evaluation for tabulated
+    pairs (tab_cheb.eval_pairs — the token-identical twin of the colt2
+    kernel's tab branch) instead of the 4096-bin interpolation: when the
+    kernel served cheb values, the subtraction must cancel THOSE."""
+    i = excl[:, 0]
+    j = excl[:, 1]
+    valid = (i >= 0) & (j >= 0)
+    ic = jnp.maximum(i, 0)
+    jc = jnp.maximum(j, 0)
+    # packed [x, y, z, type+1|0] rows — one 16-byte-row gather per endpoint
+    # instead of pos + type + active gathers; the same packing expression as
+    # the cell kernel's wrapper, so XLA CSE shares the array within a step
+    if active is not None:
+        tv = jnp.where(active, type_id + 1, 0).astype(pos.dtype)
+    else:
+        tv = (type_id + 1).astype(pos.dtype)
+    packed = jnp.concatenate([pos, tv[:, None]], axis=-1)
+    pi = packed[ic]
+    pj = packed[jc]
+    d, f_s, e_lj, e_tab, r2s, valid = _pair_eval(
+        spec, n_types, pi, pj, box, valid, has_tab=has_tab, cheb=cheb,
+        cheb_mix=cheb_mix, obs_x=obs_x)
+
+    f_over_r = f_s[:, None] * d
     n = pos.shape[0]
     force = jnp.zeros_like(pos)
     force = force.at[jnp.where(valid, ic, n)].add(f_over_r, mode="drop")
     force = force.at[jnp.where(valid, jc, n)].add(-f_over_r, mode="drop")
     # pair virial of the excluded pairs — same (F/r) * r^2 form as the
     # kernel so the subtraction cancels exactly
-    w = jnp.sum((f_lj + f_tab) * r2s)
+    w = jnp.sum(f_s * r2s)
     return force, jnp.sum(e_lj), jnp.sum(e_tab), w
 
 

@@ -37,7 +37,14 @@ def main():
     block_steps = int(sys.argv[3]) if len(sys.argv) > 3 else 200
 
     use_pallas = os.environ.get("TAB_PALLAS", "") == "1"
-    built, systop, _ = testsystems.build_tabulated_melt(
+    # TAB_MIXED=1: the conversion-mixed variant (func 10 MA-MA blended by
+    # the MA conversion observable, func 12 static blend — the dacron
+    # dynamic-scaling class; VERDICT r4 item 6 asks for the row-path
+    # timing of exactly this system)
+    builder = (testsystems.build_mixed_tab_melt
+               if os.environ.get("TAB_MIXED") else
+               testsystems.build_tabulated_melt)
+    built, systop, _ = builder(
         n_mols=n_mols, reactive=True, use_pallas=use_pallas)
     spec, cfg = built.spec, built.cfg
     print(json.dumps({"n_particles": cfg.n_particles,
