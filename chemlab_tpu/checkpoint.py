@@ -23,12 +23,18 @@ import jax.numpy as jnp
 # load.  This also makes checkpoints portable across the CHEMLAB_BONDED
 # default flip — files never carry the derived subtrees either way.
 _DERIVED_FIELDS = ("bonds_dense", "bonds_irr", "angles_dense", "angles_irr")
+# derived exclusion operands (excl_dense.derive): same strip-and-rederive
+# treatment, independently optional (feature is env-gated separately)
+_DERIVED_EXCL = ("excl_masks", "excl_irr")
 
 
 def _strip_derived(state):
-    if getattr(state, _DERIVED_FIELDS[0], None) is None:
-        return state
-    return dataclasses.replace(state, **{f: None for f in _DERIVED_FIELDS})
+    upd = {}
+    if getattr(state, _DERIVED_FIELDS[0], None) is not None:
+        upd.update({f: None for f in _DERIVED_FIELDS})
+    if getattr(state, _DERIVED_EXCL[0], None) is not None:
+        upd.update({f: None for f in _DERIVED_EXCL})
+    return dataclasses.replace(state, **upd) if upd else state
 
 
 def save_state(path: str, state, cfg=None) -> None:
@@ -112,4 +118,25 @@ def load_state(path: str, template, cfg=None, spec=None):
             state.angles, npart, template.angles_irr.capacity)
         state = dataclasses.replace(state, bonds_dense=bdn, bonds_irr=bir,
                                     angles_dense=adn, angles_irr=air)
+    if getattr(template, "excl_masks", None) is not None:
+        # rebuild the derived exclusion operands from the restored flat
+        # list (same strip-and-rederive contract as the bonded subtrees)
+        if cfg is None or not cfg.excl_offsets:
+            raise ValueError("template carries dense-exclusion operands; "
+                             "pass cfg (with excl_offsets) to load_state")
+        from .engine import excl_dense
+
+        # a checkpoint written after mid-run growth can carry more
+        # irregular pairs than a fresh build's irr cap: grow it first
+        e = np.asarray(state.excl)
+        ev = (e[:, 0] >= 0) & (e[:, 1] >= 0)
+        n_irr = int((ev & ~np.isin(np.abs(e[:, 1] - e[:, 0]),
+                                   cfg.excl_offsets)).sum())
+        if n_irr + 128 > cfg.excl_irr_cap:
+            cfg = dataclasses.replace(
+                cfg, excl_irr_cap=-(-(n_irr + 128) // 128) * 128)
+        masks, irr, _ = excl_dense.derive(
+            state.excl, state.pos.shape[0], cfg.excl_offsets,
+            cfg.excl_irr_cap)
+        state = dataclasses.replace(state, excl_masks=masks, excl_irr=irr)
     return (state, cfg) if want_cfg else state

@@ -87,6 +87,9 @@ class SimOptions:
     bonded_dense: bool | None = None  # None = on unless CHEMLAB_BONDED=
                                       # gather; chain terms on rolled
                                       # planes (bonded_dense.py)
+    excl_dense: bool | None = None    # None = env CHEMLAB_EXCL=dense;
+                                      # chain exclusions on rolled planes
+                                      # (excl_dense.py; pallas path only)
     slab_devices: int = 0  # >1: round the cell grid's x-layer count down to
                            # a multiple so the ppermute halo slab DD
                            # (pallas_halo.py) divides it; 0 = env
@@ -612,6 +615,15 @@ def apply_term_caps(cfg: EngineConfig, state, caps: dict,
         if "angle_cap" in caps and "angle_irr_cap" not in caps:
             caps["angle_irr_cap"] = max(
                 cfg.angle_irr_cap + caps["angle_cap"] - cfg.angle_cap, 128)
+    if (cfg.excl_offsets and excl_pair_cap is not None
+            and "excl_irr_cap" not in caps):
+        # same lockstep invariant for the dense-static exclusion remainder:
+        # irr_cap = excl_cap - covered_at_build stays an upper bound on the
+        # irregular count (appends either match a mask offset or consume
+        # irr and flat headroom together; see excl_dense.py)
+        caps = dict(caps)
+        caps["excl_irr_cap"] = max(
+            cfg.excl_irr_cap + excl_pair_cap - state.excl.shape[0], 128)
     cfg = dataclasses.replace(cfg, **caps)
     state = dataclasses.replace(
         state,
@@ -634,9 +646,16 @@ def apply_term_caps(cfg: EngineConfig, state, caps: dict,
             state = dataclasses.replace(
                 state, excl=jnp.concatenate(
                     [state.excl, jnp.full((pad, 2), -1, jnp.int32)]))
-    return cfg, dataclasses.replace(
+    state = dataclasses.replace(
         state, nbr=dataclasses.replace(state.nbr,
                                        overflow=jnp.asarray(False)))
+    if cfg.excl_offsets:
+        # re-derive the dense-exclusion operands AFTER the sticky-flag
+        # clear so a genuine irr overflow at the new caps survives it
+        from . import excl_dense
+
+        state = excl_dense.rederive(cfg, state)
+    return cfg, state
 
 
 def _term_headroom_floor(cap: int) -> int:
@@ -686,7 +705,9 @@ def term_caps_near_full(cfg: EngineConfig, counts: dict,
             or ("n_bonds_irr" in counts and low("n_bonds_irr",
                                                 cfg.bond_irr_cap))
             or ("n_angles_irr" in counts and low("n_angles_irr",
-                                                 cfg.angle_irr_cap)))
+                                                 cfg.angle_irr_cap))
+            or ("n_excl_irr" in counts and low("n_excl_irr",
+                                               cfg.excl_irr_cap)))
 
 
 def shrink_term_caps(cfg: EngineConfig, state, headroom: int | None = None):
@@ -782,6 +803,11 @@ def grow_term_caps(cfg: EngineConfig, state, factor: float = 1.5,
     if (counts is None or excl_cap - counts.get("n_excl", 0)
             < need("n_excl", excl_cap)):
         excl_new = _round_up(int(max(excl_cap, 128) * factor), 128)
+    if cfg.excl_offsets and counts is not None and "n_excl_irr" in counts:
+        cur = cfg.excl_irr_cap
+        if cur - counts.get("n_excl_irr", 0) < need("n_excl_irr", cur):
+            caps["excl_irr_cap"] = _round_up(int(max(cur, 128) * factor),
+                                             128)
     return apply_term_caps(cfg, state, caps, excl_new)
 
 
@@ -833,6 +859,10 @@ def presize_term_caps(cfg: EngineConfig, state, counts: dict,
     t = tgt("n_excl", state.excl.shape[0])
     if t > state.excl.shape[0]:
         excl_new = t
+    if cfg.excl_offsets and "n_excl_irr" in counts:
+        t = tgt("n_excl_irr", cfg.excl_irr_cap)
+        if t > cfg.excl_irr_cap:
+            caps["excl_irr_cap"] = t
     if not caps and excl_new is None:
         return cfg, state
     return apply_term_caps(cfg, state, caps, excl_new)
@@ -867,6 +897,8 @@ def plan_cap_ladder(cfg: EngineConfig, state, counts: dict,
     if cfg.bonded_dense and "n_bonds_irr" in counts:
         count_key["bond_irr_cap"] = "n_bonds_irr"
         count_key["angle_irr_cap"] = "n_angles_irr"
+    if cfg.excl_offsets and "n_excl_irr" in counts:
+        count_key["excl_irr_cap"] = "n_excl_irr"
 
     def tgt(key, cap, horizon):
         rate = max(0.0, rate_per_step.get(key, 0.0))
@@ -1274,6 +1306,28 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
         excl[i] = (a - 1, b - 1)
     n_excl = len(systop.exclusions)
 
+    # -- dense-static exclusion correction (excl_dense.py) --
+    # offsets detected from the build-time list; irr cap obeys the same
+    # lockstep invariant as the bonded irr caps (excl_cap - covered)
+    ex_env = os.environ.get("CHEMLAB_EXCL", "")
+    if ex_env not in ("", "dense", "flat"):
+        import warnings
+        warnings.warn("CHEMLAB_EXCL=%r unrecognized (expected 'dense' or "
+                      "'flat'); using the flat path" % ex_env)
+        ex_env = ""
+    ex_enable = (opts.excl_dense if opts.excl_dense is not None
+                 else ex_env == "dense")
+    excl_offsets = ()
+    excl_irr_cap = 0
+    if ex_enable and use_pallas:
+        from . import excl_dense as _exd
+
+        excl_offsets = _exd.detect_offsets(excl)
+        if excl_offsets:
+            dvals = np.abs(excl[:n_excl, 1] - excl[:n_excl, 0])
+            n_cov = int(np.isin(dvals, excl_offsets).sum())
+            excl_irr_cap = _round_up(max(excl_cap_pairs - n_cov, 128), 128)
+
     adj = np.full((n_pad, opts.deg_cap), -1, I32)
     deg = np.zeros(n_pad, I32)
     bonds0 = [(i - 1, j - 1) for (i, j) in systop.bonds]
@@ -1530,6 +1584,8 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
         bonded_dense=bd_enable,
         bond_irr_cap=bond_irr_cap,
         angle_irr_cap=angle_irr_cap,
+        excl_offsets=excl_offsets,
+        excl_irr_cap=excl_irr_cap,
         max_events=opts.max_events,
         n_reactions=n_r,
         n_groups=compiled.n_groups if compiled else 0,
@@ -1778,6 +1834,10 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
         from . import bonded_dense
 
         state = bonded_dense.rederive(cfg, state)
+    if cfg.excl_offsets:
+        from . import excl_dense
+
+        state = excl_dense.rederive(cfg, state)
 
     term_names = (["bond_f%d" % f for f in bond_funcs]
                   + ["angle_f%d" % f for f in angle_funcs]

@@ -35,6 +35,25 @@ def _dense_of(cfg: EngineConfig, state: MDState):
     return None
 
 
+def _excl_correction(spec: SimSpec, cfg: EngineConfig, state: MDState,
+                     obs_x):
+    """Excluded-pair correction for the pallas path: the dense-static
+    rolled-plane leg (excl_dense.py) when derived operands exist, else
+    the flat-list correction."""
+    from . import excl_dense, pallas_pair
+
+    kwargs = dict(active=state.active, has_tab=cfg.has_tabulated,
+                  cheb=(cfg.cheb_kw, cfg.cheb_ko) if cfg.tab_cheb else None,
+                  cheb_mix=cfg.cheb_mix, obs_x=obs_x)
+    if cfg.excl_offsets and state.excl_masks is not None:
+        return excl_dense.correction(
+            spec, cfg, state.pos, state.box, state.type_id,
+            state.excl_masks, state.excl_irr, **kwargs)
+    return pallas_pair.excluded_pair_correction(
+        spec, cfg.n_types, state.pos, state.box, state.type_id, state.excl,
+        **kwargs)
+
+
 def compute_forces(spec: SimSpec, cfg: EngineConfig, state: MDState,
                    want_energy: bool = True):
     """All conservative forces + per-term potential energies + conversions.
@@ -79,11 +98,8 @@ def compute_forces(spec: SimSpec, cfg: EngineConfig, state: MDState,
                 cheb_ko=cfg.cheb_ko, want_energy=want_energy,
                 cheb_ntab=cfg.cheb_ntab, cheb_mix=cfg.cheb_mix,
                 obs_x=obs_x)
-        f_ex, e_lj_ex, e_tab_ex, _ = pallas_pair.excluded_pair_correction(
-            spec, cfg.n_types, state.pos, state.box, state.type_id, state.excl,
-            active=state.active, has_tab=cfg.has_tabulated,
-            cheb=(cfg.cheb_kw, cfg.cheb_ko) if cfg.tab_cheb else None,
-            cheb_mix=cfg.cheb_mix, obs_x=obs_x)
+        f_ex, e_lj_ex, e_tab_ex, _ = _excl_correction(spec, cfg, state,
+                                                      obs_x)
         f_pair = f_all - f_ex
         e_pair = {"lj": e_lj_all - e_lj_ex, "lj-tab": e_tab_all - e_tab_ex,
                   "coulomb": jnp.asarray(0.0, state.pos.dtype)}
@@ -202,11 +218,7 @@ def virial_pressure(spec: SimSpec, cfg: EngineConfig, state: MDState):
                 cheb_kw=cfg.cheb_kw if cfg.tab_cheb else 0,
                 cheb_ko=cfg.cheb_ko, cheb_ntab=cfg.cheb_ntab,
                 cheb_mix=cfg.cheb_mix, obs_x=obs_x)
-        _, _, _, w_ex = pallas_pair.excluded_pair_correction(
-            spec, cfg.n_types, state.pos, state.box, state.type_id,
-            state.excl, active=state.active, has_tab=cfg.has_tabulated,
-            cheb=(cfg.cheb_kw, cfg.cheb_ko) if cfg.tab_cheb else None,
-            cheb_mix=cfg.cheb_mix, obs_x=obs_x)
+        _, _, _, w_ex = _excl_correction(spec, cfg, state, obs_x)
         w = (w_all - w_ex) - jax.grad(u_bonded)(
             jnp.asarray(1.0, state.pos.dtype))
     else:

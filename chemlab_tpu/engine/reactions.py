@@ -1167,7 +1167,16 @@ def freeze_region_step(spec: SimSpec, cfg: EngineConfig,
                        bonds_irr=scrub(st.bonds_irr),
                        angles_dense=scrub(st.angles_dense),
                        angles_irr=scrub(st.angles_irr))
-        return dataclasses.replace(st, **upd)
+        st2 = dataclasses.replace(st, **upd)
+        if cfg.excl_offsets and st.excl_masks is not None:
+            # dense-exclusion operands: re-derive from the scrubbed flat
+            # list (per-step tv masking already zeroes dead endpoints, so
+            # this is invariant hygiene rather than a force correctness
+            # fix — unlike the bonded scrub above)
+            from . import excl_dense
+
+            st2 = excl_dense.rederive(cfg, st2)
+        return st2
 
     return jax.lax.cond(jnp.any(hit & spec.fr_remove), cleanup,
                         lambda s: s, state)

@@ -72,10 +72,11 @@ def step_with_extensions(spec: SimSpec, cfg: EngineConfig, state: MDState,
         def _fire(st):
             st = reactions.reaction_step(spec, cfg, st, rng_seed)
             # reaction intervals are the only in-jit site where the term
-            # tables change: refresh the dense-static bonded operands here
-            from . import bonded_dense
+            # tables change: refresh the dense-static bonded + exclusion
+            # operands here
+            from . import bonded_dense, excl_dense
 
-            return bonded_dense.rederive(cfg, st)
+            return excl_dense.rederive(cfg, bonded_dense.rederive(cfg, st))
 
         state = jax.lax.cond(fire, _fire, lambda st: st, state)
     if cfg.has_atrp:
@@ -139,6 +140,9 @@ def measure_cheap(spec: SimSpec, cfg: EngineConfig, state: MDState):
         # worst-case (irr_cap tracking canonical-cap growth 1:1)
         out["n_bonds_irr"] = jnp.sum(state.bonds_irr.valid.astype(jnp.int32))
         out["n_angles_irr"] = jnp.sum(state.angles_irr.valid.astype(jnp.int32))
+    if cfg.excl_offsets and state.excl_irr is not None:
+        out["n_excl_irr"] = jnp.sum((state.excl_irr[:, 0] >= 0)
+                                    .astype(jnp.int32))
     if cfg.n_groups:
         out["group_bonds"] = observables.group_bond_counts(state.bonds,
                                                            cfg.n_groups)
@@ -176,6 +180,9 @@ def measure(spec: SimSpec, cfg: EngineConfig, state: MDState):
         out["n_bonds_irr"] = jnp.sum(state.bonds_irr.valid.astype(jnp.int32))
         out["n_angles_irr"] = jnp.sum(state.angles_irr.valid
                                       .astype(jnp.int32))
+    if cfg.excl_offsets and state.excl_irr is not None:
+        out["n_excl_irr"] = jnp.sum((state.excl_irr[:, 0] >= 0)
+                                    .astype(jnp.int32))
     out["n_part"] = jnp.sum(state.active.astype(jnp.int32))
     out["max_force"] = observables.max_force(force, state.active)
     if cfg.has_fixd:

@@ -172,6 +172,14 @@ class EngineConfig:
     bonded_dense: bool = False
     bond_irr_cap: int = 0
     angle_irr_cap: int = 0
+    # -- dense-static exclusion correction (excl_dense.py) --
+    # Chain exclusions (b, b+d) for d in this static offset set evaluate
+    # on rolled planes (same trick as bonded_dense applied to the
+    # all-pairs-minus-excluded subtraction); the irregular remainder
+    # (reactive cross-molecule exclusions) keeps the flat-path correction
+    # at excl_irr_cap rows.  Empty tuple = feature off (flat path).
+    excl_offsets: tuple = ()
+    excl_irr_cap: int = 0
     # Active device mesh (jax.sharding.Mesh, hashable) for row-sharding
     # constraints on the rebuild's (N, S*cap) candidate planes — GSPMD loses
     # the row partitioning across the rebuild's gather/sort boundaries

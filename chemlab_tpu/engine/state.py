@@ -181,6 +181,13 @@ class MDState:
     angles_dense: TermTable | None = None
     angles_irr: TermTable | None = None
 
+    # dense-static exclusion operands (cfg.excl_offsets; None otherwise):
+    # DERIVED views of the flat excl list (excl_dense.derive) — per-offset
+    # mask planes + the compacted irregular remainder, refreshed on the
+    # same cadence as the bonded operands above
+    excl_masks: jnp.ndarray | None = None   # (n_offsets, N) bool
+    excl_irr: jnp.ndarray | None = None     # (excl_irr_cap, 2) int32
+
     @property
     def n_particles(self) -> int:
         return self.pos.shape[0]
