@@ -1315,8 +1315,11 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
         warnings.warn("CHEMLAB_EXCL=%r unrecognized (expected 'dense' or "
                       "'flat'); using the flat path" % ex_env)
         ex_env = ""
+    # default ON for the pallas path (measured v5e 100k, scripts/excl_ab.py:
+    # correction 3.93 -> 1.15 ms, fused step 17.22 -> 14.08 ms = 7.10M pps,
+    # forces bit-exact vs the flat path); CHEMLAB_EXCL=flat opts back out
     ex_enable = (opts.excl_dense if opts.excl_dense is not None
-                 else ex_env == "dense")
+                 else ex_env != "flat")
     excl_offsets = ()
     excl_irr_cap = 0
     if ex_enable and use_pallas:
