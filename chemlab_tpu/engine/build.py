@@ -1840,7 +1840,7 @@ def build_system(systop: SystemTopology, coords, opts: SimOptions,
     if cfg.excl_offsets:
         from . import excl_dense
 
-        state = excl_dense.rederive(cfg, state)
+        state = excl_dense.rederive(cfg, state, create=True)
 
     term_names = (["bond_f%d" % f for f in bond_funcs]
                   + ["angle_f%d" % f for f in angle_funcs]

@@ -102,11 +102,16 @@ def derive(excl, n: int, offsets: tuple, irr_cap: int):
     return masks, irr, overflow
 
 
-def rederive(cfg, state):
+def rederive(cfg, state, create: bool = False):
     """Refresh the derived exclusion operands from the flat list (call
     wherever exclusions may have changed: reaction-interval epilogue,
-    freeze removal cleanup, build, term-cap re-pad)."""
-    if not cfg.excl_offsets:
+    freeze removal cleanup, build, term-cap re-pad).
+
+    No-op when the state does not already carry the operands unless
+    ``create`` (build-time) — a state transplanted from a build without
+    the feature must stay on the flat path, or the two branches of the
+    reaction-interval ``lax.cond`` would return different pytrees."""
+    if not cfg.excl_offsets or (state.excl_masks is None and not create):
         return state
     n = state.pos.shape[0]
     masks, irr, ovf = derive(state.excl, n, cfg.excl_offsets,

@@ -27,7 +27,8 @@ from chemlab_tpu.engine import excl_dense, integrate, pallas_pair, runner  # noq
 def melt_pair():
     """The same reactive melt built twice: flat vs dense exclusions."""
     flat, systop, _ = testsystems.build_melt(
-        n_mols=60, reactive=True, seed=11, use_pallas=True)
+        n_mols=60, reactive=True, seed=11, use_pallas=True,
+        excl_dense=False)
     dense, _, _ = testsystems.build_melt(
         n_mols=60, reactive=True, seed=11, use_pallas=True, excl_dense=True)
     st = runner.initial_forces(flat.spec, flat.cfg, flat.state)
@@ -93,7 +94,7 @@ def test_correction_matches_flat(melt_pair):
 def test_engine_forces_match(melt_pair):
     """compute_forces through both cfgs on the same particle state."""
     flat, dense, _, st = melt_pair
-    st_d = excl_dense.rederive(dense.cfg, st)
+    st_d = excl_dense.rederive(dense.cfg, st, create=True)
     f_f, e_f, _ = integrate.compute_forces(flat.spec, flat.cfg, st)
     f_d, e_d, _ = integrate.compute_forces(dense.spec, dense.cfg, st_d)
     ff, fd = np.asarray(f_f), np.asarray(f_d)
@@ -110,7 +111,7 @@ def test_reactive_run_keeps_partition(melt_pair):
     the derived partition stays exact after firing intervals."""
     _, dense, systop, st = melt_pair
     spec, cfg = dense.spec, dense.cfg
-    st = excl_dense.rederive(cfg, st)
+    st = excl_dense.rederive(cfg, st, create=True)
     st = dataclasses.replace(
         st, force=runner.initial_forces(spec, cfg, st).force)
     st = testsystems.activate_initiators(dense, systop, st, n=6)
@@ -130,7 +131,7 @@ def test_cap_growth_keeps_operands(melt_pair):
     """apply_term_caps excl growth re-derives and grows irr in lockstep."""
     _, dense, _, st = melt_pair
     cfg = dense.cfg
-    st = excl_dense.rederive(cfg, st)
+    st = excl_dense.rederive(cfg, st, create=True)
     old_cap = st.excl.shape[0]
     old_irr = cfg.excl_irr_cap
     cfg2, st2 = build_mod.apply_term_caps(cfg, st, {}, old_cap + 256)
@@ -149,7 +150,7 @@ def test_checkpoint_roundtrip(tmp_path, melt_pair):
 
     _, dense, _, st = melt_pair
     cfg, spec = dense.cfg, dense.spec
-    st = excl_dense.rederive(cfg, st)
+    st = excl_dense.rederive(cfg, st, create=True)
     path = str(tmp_path / "cpt.npz")
     checkpoint.save_state(path, st, cfg)
     st2, cfg2 = checkpoint.load_state(path, dense.state, cfg, spec)
