@@ -168,6 +168,13 @@ def main():
     import jax
     if backend.startswith("cpu"):
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # claim the device NOW with a trivial exec: the axon worker wedge
+        # hits a process's FIRST device op (TPU_NUMBERS_r06 addenda) — by
+        # forcing it here, the supervisor's beacon watch can kill and
+        # retry a fresh process instead of hanging the whole bench
+        jax.jit(lambda x: x + 1)(jax.numpy.ones(8)).block_until_ready()
+    print("BENCH_DEVICE_OK %s" % backend, file=sys.stderr, flush=True)
 
     # TPU: the pallas cell-tile + lazy-row fast path; CPU keeps the row path
     # (interpret-mode pallas is slower). BENCH_NO_PALLAS=1 forces the row path.
@@ -245,17 +252,85 @@ def main():
     return 0
 
 
+def _fallback_line(msg: str) -> None:
+    print(json.dumps({
+        "metric": "particle-steps/sec (reactive atrp_lj-class melt)",
+        "value": 0.0,
+        "unit": "particle-steps/s",
+        "vs_baseline": 0.0,
+        "extra": {"error": msg[:500]},
+    }))
+
+
+def _supervise() -> int:
+    """Run the benchmark in a CHILD process, watching for the device
+    beacon; kill + retry a fresh process when the claim wedges.
+
+    The axon pool worker wedges a client's first device op after a prior
+    session's disconnect, while FRESH processes can still claim within
+    ~1-2 min windows (TPU_NUMBERS_r06 addenda).  A single in-process
+    bench therefore risks hanging the whole round; the supervisor makes
+    the recorded line robust: beacon within BENCH_CLAIM_TIMEOUT or the
+    attempt is abandoned.  A cpu-fallback beacon (probe failed) is only
+    accepted on the final attempt — earlier attempts retry for the TPU."""
+    import subprocess
+    import threading
+
+    claim_t = float(os.environ.get("BENCH_CLAIM_TIMEOUT", "300"))
+    total_t = float(os.environ.get("BENCH_TOTAL_TIMEOUT", "5400"))
+    tries = int(os.environ.get("BENCH_CLAIM_RETRIES", "3"))
+    for attempt in range(tries):
+        env = dict(os.environ, BENCH_CHILD="1")
+        p = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
+                             env=env, stdout=subprocess.PIPE,
+                             stderr=subprocess.PIPE, text=True)
+        beacon = threading.Event()
+        beacon_kind = []
+
+        def pump(proc=p, ev=beacon, kind=beacon_kind):
+            for line in proc.stderr:
+                sys.stderr.write(line)
+                if "BENCH_DEVICE_OK" in line:
+                    kind.append(line.strip().split()[-1])
+                    ev.set()
+
+        t = threading.Thread(target=pump, daemon=True)
+        t.start()
+        ok = beacon.wait(claim_t)
+        if ok and beacon_kind and beacon_kind[0] != "tpu" \
+                and attempt < tries - 1:
+            ok = False          # cpu fallback: retry for the real device
+        if not ok:
+            sys.stderr.write("bench supervisor: attempt %d/%d %s - "
+                             "retrying fresh process\n"
+                             % (attempt + 1, tries,
+                                "got cpu fallback" if beacon.is_set()
+                                else "no device beacon in %.0fs" % claim_t))
+            p.kill()
+            p.wait()
+            time.sleep(float(os.environ.get("BENCH_CLAIM_BACKOFF", "40")))
+            continue
+        try:
+            # the JSON result line is far smaller than the pipe buffer, so
+            # waiting before reading cannot deadlock the child
+            p.wait(timeout=total_t)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            _fallback_line("bench child exceeded BENCH_TOTAL_TIMEOUT")
+            return 0
+        sys.stdout.write(p.stdout.read())
+        return p.returncode
+    _fallback_line("no device claim in %d attempts (worker wedged)" % tries)
+    return 0
+
+
 if __name__ == "__main__":
     try:
-        sys.exit(main())
+        if os.environ.get("BENCH_CHILD") or os.environ.get("BENCH_FORCE_CPU"):
+            sys.exit(main())
+        sys.exit(_supervise())
     except Exception as exc:  # never leave a round without a parsed line
         import traceback
         traceback.print_exc(file=sys.stderr)
-        print(json.dumps({
-            "metric": "particle-steps/sec (reactive atrp_lj-class melt)",
-            "value": 0.0,
-            "unit": "particle-steps/s",
-            "vs_baseline": 0.0,
-            "extra": {"error": "%s: %s" % (type(exc).__name__, str(exc)[:500])},
-        }))
+        _fallback_line("%s: %s" % (type(exc).__name__, str(exc)))
         sys.exit(0)
